@@ -1,0 +1,411 @@
+"""DAG -> pure-JAX closure compiler.
+
+No direct reference counterpart: Brancher interprets its graph with
+recursive Python traversal on every ``get_sample`` /
+``calculate_log_probability`` call (SURVEY.md §3.2–3.3 "hot loop").  The
+TPU rebuild's central architectural change (BASELINE.json: "graph tracer →
+JAX closure compiler") is this module: the DAG is walked ONCE at trace
+time, producing pure functions that XLA compiles and fuses:
+
+  * ``sample(params, key, n, given)``     — ancestral sampling, vmapped
+  * ``log_prob(params, values)``          — log-joint per sample, vmapped
+  * ``log_density_z(params, z, given)``   — log-joint + Jacobian in
+                                            unconstrained space (the kernel
+                                            under HMC/NUTS/SVI autoguides)
+  * ``constrain/unconstrain``             — support bijections per latent
+
+All per-sample functions are scalar-sample; the sample/chain/particle axis
+is always added with ``jax.vmap`` and sharded with ``NamedSharding`` by the
+engines, never hand-broadcast (SURVEY.md §7 build plan step 1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .transforms import transform_for
+from .utilities import sum_all
+from .variables import (
+    DeterministicVariable,
+    ParamStore,
+    PartialLink,
+    ProbabilisticModel,
+    RandomVariable,
+    Variable,
+)
+
+Array = jax.Array
+
+
+def _full_deps(v: Variable) -> Tuple[Variable, ...]:
+    """Parents plus observation-link variables (data-loader pattern)."""
+    deps = list(v.parents)
+    obs = getattr(v, "_observed", None)
+    if isinstance(obs, PartialLink):
+        deps.extend(obs.vars)
+    return tuple(deps)
+
+
+def _toposort(roots: Sequence[Variable]) -> List[Variable]:
+    order: List[Variable] = []
+    state: Dict[int, int] = {}
+
+    def visit(v: Variable):
+        s = state.get(id(v))
+        if s == 1:
+            return
+        if s == 0:
+            raise ValueError(f"cycle detected through variable {v.name!r}")
+        state[id(v)] = 0
+        for p in _full_deps(v):
+            visit(p)
+        state[id(v)] = 1
+        order.append(v)
+
+    for r in roots:
+        visit(r)
+    return order
+
+
+class CompiledModel:
+    """Frozen lowering of a ProbabilisticModel into pure JAX closures."""
+
+    def __init__(self, model: ProbabilisticModel):
+        self.model = model
+        self.order: List[Variable] = _toposort(model.output_variables)
+        self.names: List[str] = [v.name for v in self.order]
+
+        self.latent_names: List[str] = [
+            v.name
+            for v in self.order
+            if isinstance(v, RandomVariable) and not v.is_observed
+        ]
+        self.continuous_latent_names: List[str] = [
+            v.name
+            for v in self.order
+            if isinstance(v, RandomVariable)
+            and not v.is_observed
+            and not v.distribution.is_discrete
+        ]
+        self.discrete_latent_names: List[str] = [
+            n for n in self.latent_names if n not in self.continuous_latent_names
+        ]
+        self.observed_names: List[str] = [
+            v.name for v in self.order if isinstance(v, RandomVariable) and v.is_observed
+        ]
+
+        # ---- shape-probe pass: initializes lazy params, records shapes ----
+        store = ParamStore({}, rng=jax.random.PRNGKey(0), frozen=False)
+        probe_vals, _ = self._walk_sample(store, jax.random.PRNGKey(0), {})
+        self.initial_params: Dict[str, Any] = store.params
+        self.shapes: Dict[str, Tuple[int, ...]] = {
+            k: jnp.shape(v) for k, v in probe_vals.items()
+        }
+        self.dtypes: Dict[str, Any] = {k: jnp.asarray(v).dtype for k, v in probe_vals.items()}
+
+        # unconstrained template for continuous latents
+        self.z_shapes: Dict[str, Tuple[int, ...]] = {}
+        for v in self.order:
+            if v.name in self.continuous_latent_names:
+                tr = transform_for(v.distribution, self._probe_params(v, probe_vals, store))
+                self.z_shapes[v.name] = tuple(
+                    tr.unconstrained_shape(self.shapes[v.name])
+                )
+
+        # jitted entry points (recompile per given-structure; cached by jax)
+        self._sample_vmapped = jax.jit(
+            self._sample_batch, static_argnames=("n", "mapped_names")
+        )
+        self._log_prob_vmapped = jax.jit(self._log_prob_batch)
+
+    # ------------------------------------------------------------------
+    def _probe_params(self, v: RandomVariable, values, store) -> Dict[str, Array]:
+        try:
+            return v.eval_params(values, store)
+        except Exception:
+            return {}
+
+    @staticmethod
+    def _as_store(params) -> ParamStore:
+        if isinstance(params, ParamStore):
+            return params
+        return ParamStore(params, frozen=True)
+
+    # ------------------------------------------------------------------
+    # The unified single-sample graph walks.  Python loops here unroll at
+    # trace time into a flat XLA graph (the DAG is frozen; SURVEY.md §3.2).
+    # ------------------------------------------------------------------
+    def _expand_plate(self, v: RandomVariable, params: Dict[str, Array]) -> Dict[str, Array]:
+        if not v.plate_shape:
+            return params
+        if v.distribution.event_ndim != 0:
+            raise NotImplementedError("plate_shape on event-valued distributions")
+        shape = jnp.broadcast_shapes(*(jnp.shape(p) for p in params.values())) if params else ()
+        target = tuple(v.plate_shape) + tuple(shape)
+        return {k: jnp.broadcast_to(p, target) for k, p in params.items()}
+
+    def _rv_log_prob(self, v: RandomVariable, value, dist_params) -> Array:
+        lp = sum_all(v.distribution.log_prob(value, **dist_params))
+        if v.log_prob_scale != 1.0:
+            lp = v.log_prob_scale * lp
+        return lp
+
+    def _observed_value(self, v: Variable, values: Dict[str, Array], store: ParamStore):
+        obs = v._observed
+        if isinstance(obs, PartialLink):
+            return obs.fn(values, store)
+        return obs
+
+    def _walk_sample(
+        self, store: ParamStore, key: Array, given: Dict[str, Array]
+    ) -> Tuple[Dict[str, Array], Array]:
+        """Ancestral sampling walk; returns (values, log_joint-of-sampled)."""
+        values: Dict[str, Array] = {}
+        logp = jnp.zeros(())
+        for i, v in enumerate(self.order):
+            if v.name in given:
+                values[v.name] = given[v.name]
+                if isinstance(v, RandomVariable):
+                    p = self._expand_plate(v, v.eval_params(values, store))
+                    logp = logp + self._rv_log_prob(v, values[v.name], p)
+                continue
+            if isinstance(v, DeterministicVariable):
+                values[v.name] = v.compute(values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(values, store))
+            value = v.distribution.sample(jax.random.fold_in(key, i), **p)
+            values[v.name] = value
+            logp = logp + self._rv_log_prob(v, value, p)
+        return values, logp
+
+    def _walk_log_prob(self, store: ParamStore, values_in: Dict[str, Array]) -> Array:
+        """Log-joint of provided latent (+ optionally observed) values."""
+        values: Dict[str, Array] = {}
+        logp = jnp.zeros(())
+        for v in self.order:
+            if isinstance(v, DeterministicVariable):
+                values[v.name] = (
+                    values_in[v.name] if v.name in values_in else v.compute(values, store)
+                )
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(values, store))
+            if v.name in values_in:
+                value = values_in[v.name]
+            elif v.is_observed:
+                value = self._observed_value(v, values, store)
+            else:
+                raise ValueError(
+                    f"latent variable {v.name!r} missing from sample dict"
+                )
+            values[v.name] = value
+            logp = logp + self._rv_log_prob(v, value, p)
+        return logp
+
+    def _walk_z(
+        self, store: ParamStore, z: Dict[str, Array], given: Dict[str, Array]
+    ) -> Tuple[Dict[str, Array], Array]:
+        """Unconstrained-space walk: z -> values, log p(x) + log|J|.
+
+        This is THE kernel under NUTS/HMC/SVI (BASELINE.json: "vectorized
+        log-joint").  Transform parameters (e.g. Uniform bounds) may depend
+        on parent values; topological order guarantees availability.
+        """
+        values: Dict[str, Array] = {}
+        logp = jnp.zeros(())
+        for v in self.order:
+            if isinstance(v, DeterministicVariable):
+                values[v.name] = v.compute(values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(values, store))
+            if v.name in given:
+                value = given[v.name]
+                values[v.name] = value
+                logp = logp + self._rv_log_prob(v, value, p)
+                continue
+            if v.is_observed:
+                value = self._observed_value(v, values, store)
+                values[v.name] = value
+                logp = logp + self._rv_log_prob(v, value, p)
+                continue
+            if v.distribution.is_discrete:
+                raise ValueError(
+                    f"discrete latent {v.name!r} must be provided via `given` "
+                    "for unconstrained-space log density"
+                )
+            tr = transform_for(v.distribution, p)
+            x = tr.forward(z[v.name])
+            ld = sum_all(tr.forward_log_det(z[v.name]))
+            values[v.name] = x
+            logp = logp + self._rv_log_prob(v, x, p) + ld
+        return values, logp
+
+    def _walk_mean(self, store: ParamStore, given: Dict[str, Array]) -> Dict[str, Array]:
+        """Deterministic walk substituting each RV by its mean (delta /
+        first-order-Taylor evaluation; used by Taylor1Estimator)."""
+        values: Dict[str, Array] = {}
+        for v in self.order:
+            if v.name in given:
+                values[v.name] = given[v.name]
+                continue
+            if isinstance(v, DeterministicVariable):
+                values[v.name] = v.compute(values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(values, store))
+            values[v.name] = v.distribution.mean(**p)
+        return values
+
+    # ------------------------------------------------------------------
+    # Public per-sample API
+    # ------------------------------------------------------------------
+    def mean_one(self, params, key: Array = None, given: Optional[Dict[str, Array]] = None):
+        return self._walk_mean(self._as_store(params), given or {})
+
+    def sample_one(self, params, key: Array, given: Optional[Dict[str, Array]] = None):
+        values, _ = self._walk_sample(self._as_store(params), key, given or {})
+        return values
+
+    def log_prob_one(self, params, values: Dict[str, Array]) -> Array:
+        return self._walk_log_prob(self._as_store(params), values)
+
+    def log_likelihood_one(self, params, values: Dict[str, Array]) -> Array:
+        """Sum of OBSERVED variables' log-probs only (vs the full joint)."""
+        store = self._as_store(params)
+        walk_values: Dict[str, Array] = {}
+        lp = jnp.zeros(())
+        for v in self.order:
+            if isinstance(v, DeterministicVariable):
+                walk_values[v.name] = (
+                    values[v.name] if v.name in values else v.compute(walk_values, store)
+                )
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(walk_values, store))
+            if v.is_observed and v.name not in values:
+                value = self._observed_value(v, walk_values, store)
+                walk_values[v.name] = value
+                lp = lp + self._rv_log_prob(v, value, p)
+            elif v.name in values:
+                walk_values[v.name] = values[v.name]
+                if v.is_observed:
+                    lp = lp + self._rv_log_prob(v, values[v.name], p)
+            else:
+                raise ValueError(f"latent {v.name!r} missing from values")
+        return lp
+
+    def log_density_z(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Array:
+        _, logp = self._walk_z(self._as_store(params), z, given or {})
+        return logp
+
+    def constrain(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
+        values, _ = self._walk_z(self._as_store(params), z, given or {})
+        return values
+
+    def unconstrain(self, params, values: Dict[str, Array]) -> Dict[str, Array]:
+        """Map constrained latent values into unconstrained space."""
+        store = self._as_store(params)
+        walk_values: Dict[str, Array] = {}
+        z: Dict[str, Array] = {}
+        for v in self.order:
+            if isinstance(v, DeterministicVariable):
+                walk_values[v.name] = v.compute(walk_values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            if v.is_observed and v.name not in values:
+                walk_values[v.name] = self._observed_value(v, walk_values, store)
+                continue
+            if v.name not in values:
+                continue
+            walk_values[v.name] = values[v.name]
+            if v.name in self.continuous_latent_names:
+                p = self._expand_plate(v, v.eval_params(walk_values, store))
+                tr = transform_for(v.distribution, p)
+                z[v.name] = tr.inverse(values[v.name])
+        return z
+
+    @property
+    def data_loader_names(self) -> List[str]:
+        """Names of data-loader RVs (Empirical / RandomIndices): these are
+        resampled per SVI step to drive minibatching (SURVEY.md §3.4)."""
+        from .distributions import Empirical, RandomIndices
+
+        return [
+            v.name
+            for v in self.order
+            if isinstance(v, RandomVariable)
+            and isinstance(v.distribution, (Empirical, RandomIndices))
+        ]
+
+    def sample_subgraph_one(self, params, key: Array, names: Sequence[str]) -> Dict[str, Array]:
+        """Sample only `names` and their ancestors (cheap data-loader draw)."""
+        store = self._as_store(params)
+        wanted = set(names)
+        needed: set = set()
+        # ancestors via reverse topo sweep
+        for v in reversed(self.order):
+            if v.name in wanted or v.name in needed:
+                needed.add(v.name)
+                for p in _full_deps(v):
+                    needed.add(p.name)
+        values: Dict[str, Array] = {}
+        for i, v in enumerate(self.order):
+            if v.name not in needed:
+                continue
+            if isinstance(v, DeterministicVariable):
+                values[v.name] = v.compute(values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(values, store))
+            values[v.name] = v.distribution.sample(jax.random.fold_in(key, i), **p)
+        return {n: values[n] for n in needed if n in values}
+
+    def z_example(self, dtype=jnp.float32) -> Dict[str, Array]:
+        return {k: jnp.zeros(s, dtype) for k, s in self.z_shapes.items()}
+
+    # ------------------------------------------------------------------
+    # Batched (vmapped + jitted) API
+    # ------------------------------------------------------------------
+    def _sample_batch(self, params, key, n: int, mapped_names: Tuple[str, ...], given_mapped, given_bcast):
+        keys = jax.random.split(key, n)
+
+        def one(k, gm):
+            g = {**given_bcast, **dict(zip(mapped_names, gm))}
+            return self.sample_one(params, k, g)
+
+        gm_arrays = tuple(given_mapped)
+        return jax.vmap(one, in_axes=(0, 0))(keys, gm_arrays)
+
+    def sample(self, params, key: Array, n: int, given: Optional[Dict[str, Array]] = None):
+        given = dict(given or {})
+        mapped_names: List[str] = []
+        mapped_vals: List[Array] = []
+        bcast: Dict[str, Array] = {}
+        for k, val in given.items():
+            val = jnp.asarray(val)
+            base = self.shapes.get(k)
+            if base is not None and val.shape == (n,) + tuple(base):
+                mapped_names.append(k)
+                mapped_vals.append(val)
+            else:
+                bcast[k] = val
+        return self._sample_vmapped(
+            params, key, n=n, mapped_names=tuple(mapped_names),
+            given_mapped=tuple(mapped_vals), given_bcast=bcast,
+        )
+
+    def _log_prob_batch(self, params, values: Dict[str, Array]) -> Array:
+        return jax.vmap(lambda v: self.log_prob_one(params, v))(values)
+
+    def log_prob(self, params, values: Dict[str, Array]) -> Array:
+        values = {k: jnp.asarray(v) for k, v in values.items() if k in set(self.names)}
+        return self._log_prob_vmapped(params, values)
+
+
+def compile_model(model: ProbabilisticModel, **kwargs) -> CompiledModel:
+    return CompiledModel(model)

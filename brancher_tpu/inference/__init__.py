@@ -1,0 +1,26 @@
+"""Inference engines: SVI, point estimation, HMC/NUTS, SMC, WVGD.
+
+Reference parity: Brancher's ``inference.py`` exposes
+``perform_inference`` plus inference-method classes (SURVEY.md §2
+"Inference driver", §3.4).  The TPU rebuild keeps that surface and adds
+the net-new samplers required by BASELINE.json (NUTS/HMC, SMC) as
+first-class engines.
+"""
+
+from .svi import (
+    perform_inference,
+    ReverseKL,
+    MaximumLikelihood,
+    MAP,
+    WassersteinVariationalGradientDescent,
+)
+from .gradient_estimators import (
+    PathwiseDerivativeEstimator,
+    BlackBoxEstimator,
+    Taylor1Estimator,
+)
+from .hmc import HMC, hmc_sample
+from .nuts import NUTS, nuts_sample
+from .mcmc import sample, MCMCResult
+from .smc import smc_sample, SMCResult
+from .diagnostics import effective_sample_size, potential_scale_reduction

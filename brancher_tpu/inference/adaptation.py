@@ -1,0 +1,183 @@
+"""Warmup adaptation: dual averaging + Welford mass estimation.
+
+No reference counterpart (net-new per BASELINE.json: "dual-averaging
+step-size adaptation ... over ICI collectives").  Stan-style windowed
+warmup, fully static-shaped for lax.scan: the window schedule is computed
+in Python at trace time and streamed in as mask arrays.
+
+Cross-chain consensus: when a ``chain_axis`` name is given, accept-prob
+and Welford moments are ``lax.pmean``-ed over that axis each step, so the
+adapted step size and mass matrix are identical across chains.  Under
+``vmap(axis_name=...)`` this is a cheap on-chip mean; under
+``shard_map`` over a mesh the same code lowers to psum over ICI.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class DualAveragingState(NamedTuple):
+    log_step: Array
+    log_step_avg: Array
+    grad_avg: Array
+    t: Array
+    mu: Array
+
+
+def da_init(step_size: Array) -> DualAveragingState:
+    log_step = jnp.log(step_size)
+    return DualAveragingState(
+        log_step=log_step,
+        log_step_avg=jnp.zeros_like(log_step),
+        grad_avg=jnp.zeros_like(log_step),
+        t=jnp.zeros_like(log_step),
+        mu=jnp.log(10.0) + log_step,
+    )
+
+
+def da_update(
+    state: DualAveragingState,
+    accept_prob: Array,
+    target_accept: float = 0.8,
+    gamma: float = 0.05,
+    t0: float = 10.0,
+    kappa: float = 0.75,
+) -> DualAveragingState:
+    t = state.t + 1.0
+    g = target_accept - accept_prob
+    eta_g = 1.0 / (t + t0)
+    grad_avg = (1.0 - eta_g) * state.grad_avg + eta_g * g
+    log_step = state.mu - jnp.sqrt(t) / gamma * grad_avg
+    eta_x = t ** (-kappa)
+    log_step_avg = eta_x * log_step + (1.0 - eta_x) * state.log_step_avg
+    return DualAveragingState(log_step, log_step_avg, grad_avg, t, state.mu)
+
+
+def da_restart(state: DualAveragingState) -> DualAveragingState:
+    """Reset the averaging stats around the current step size (new window)."""
+    return da_init(jnp.exp(state.log_step))
+
+
+class WelfordState(NamedTuple):
+    mean: Array
+    m2: Array
+    count: Array
+
+
+def welford_init(dim: int, dtype=jnp.float32) -> WelfordState:
+    return WelfordState(
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim,), dtype),
+        count=jnp.zeros((), dtype),
+    )
+
+
+def welford_update(state: WelfordState, x: Array) -> WelfordState:
+    count = state.count + 1.0
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + delta * (x - mean)
+    return WelfordState(mean, m2, count)
+
+
+def welford_variance(state: WelfordState, regularize: bool = True) -> Array:
+    var = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    if regularize:
+        # Stan's shrinkage toward unit: n/(n+5) var + 1e-3 * 5/(n+5)
+        n = state.count
+        var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+    return var
+
+
+def build_warmup_schedule(
+    num_warmup: int,
+    init_buffer: int = 75,
+    term_buffer: int = 50,
+    base_window: int = 25,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stan's three-phase schedule as static mask arrays.
+
+    Returns (in_slow_window[W] bool, window_end[W] bool): slow-window steps
+    feed the Welford estimator; at each window end the mass matrix updates
+    and dual averaging restarts.
+    """
+    w = int(num_warmup)
+    in_slow = np.zeros(w, dtype=bool)
+    window_end = np.zeros(w, dtype=bool)
+    if w == 0:
+        return in_slow, window_end
+    if w < init_buffer + term_buffer + base_window:
+        # degenerate short warmup: single slow window in the middle
+        start = min(init_buffer, max(0, w // 4))
+        end = max(start + 1, w - min(term_buffer, w // 4))
+        in_slow[start:end] = True
+        window_end[end - 1] = True
+        return in_slow, window_end
+    start = init_buffer
+    size = base_window
+    while start < w - term_buffer:
+        end = start + size
+        if end + 2 * size > w - term_buffer:
+            end = w - term_buffer  # absorb remainder into last window
+        in_slow[start:end] = True
+        window_end[end - 1] = True
+        start = end
+        size *= 2
+    return in_slow, window_end
+
+
+def find_reasonable_step_size(
+    potential_fn,
+    z: Array,
+    inv_mass: Array,
+    key: Array,
+    init_step: float = 1.0,
+    target: float = 0.8,
+    max_iters: int = 50,
+) -> Array:
+    """Double/halve until the one-step accept prob crosses the target
+    (Hoffman & Gelman alg. 4, vectorized-friendly while_loop)."""
+    from .hmc import leapfrog, kinetic_energy
+
+    pe0, grad0 = jax.value_and_grad(potential_fn)(z)
+    r = jax.random.normal(key, z.shape, z.dtype) / jnp.sqrt(inv_mass)
+
+    def accept_prob(step):
+        z1, r1, pe1, _ = leapfrog(potential_fn, z, r, grad0, step, inv_mass, 1)
+        h0 = pe0 + kinetic_energy(r, inv_mass)
+        h1 = pe1 + kinetic_energy(r1, inv_mass)
+        return jnp.exp(jnp.clip(h0 - h1, -1e3, 0.0)), jnp.isfinite(h1)
+
+    p0, ok = accept_prob(jnp.asarray(init_step))
+    direction = jnp.where(p0 > target, 1.0, -1.0)
+    direction = jnp.where(ok, direction, -1.0)
+
+    def cond(carry):
+        step, i = carry
+        p, ok = accept_prob(step)
+        p = jnp.where(ok, p, 0.0)
+        crossed = jnp.where(direction > 0, p <= target, p >= target)
+        return jnp.logical_and(~crossed, i < max_iters)
+
+    def body(carry):
+        step, i = carry
+        return step * jnp.where(direction > 0, 2.0, 0.5), i + 1
+
+    step, _ = jax.lax.while_loop(cond, body, (jnp.asarray(init_step, z.dtype), 0))
+    return step
+
+
+def pmean_if(x, axis_name: Optional[str]):
+    """Cross-chain consensus reduction (ICI psum under shard_map)."""
+    if axis_name is None:
+        return x
+    try:
+        return jax.lax.pmean(x, axis_name)
+    except NameError:
+        return x

@@ -1,0 +1,320 @@
+"""MCMC driver: warmup + sampling loops, chain parallelism, diagnostics.
+
+Net-new vs reference (SURVEY.md §3.6): ``sample(model, kernel=NUTS(...))``
+is the rebuild's MCMC entry point.  TPU-first structure:
+
+  * the whole run is ONE jitted program: `lax.scan` over warmup (with a
+    static Stan-style window schedule) then over draws;
+  * chains are `vmap`-ed with an axis name; cross-chain consensus
+    adaptation (step size, mass matrix) uses `lax.pmean` over that axis —
+    the same code lowers to ICI psum when chains shard over a mesh via
+    `shard_map` (BASELINE.json: "dual-averaging ... over ICI collectives");
+  * positions are FLAT unconstrained vectors (ravel_pytree), so the hot
+    leapfrog is dense VPU work and Pallas-fusable.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler import CompiledModel
+from .adaptation import (
+    build_warmup_schedule,
+    da_init,
+    da_restart,
+    da_update,
+    find_reasonable_step_size,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+from .hmc import ChainState, init_chain_state
+
+Array = jax.Array
+
+
+def _pmean(x, axes):
+    if not axes:
+        return x
+    return jax.lax.pmean(x, axes if len(axes) > 1 else axes[0])
+
+
+class MCMCResult:
+    """Posterior samples + per-draw stats + summary diagnostics."""
+
+    def __init__(self, samples: Dict[str, Array], stats: Dict[str, Array],
+                 diagnostics: Dict[str, Any]):
+        self.samples = samples  # {name: [chains, draws, ...]} constrained
+        self.stats = stats  # {accept_prob, diverging, energy, ...}[chains, draws]
+        self.diagnostics = diagnostics
+
+    def to_pandas(self):
+        from ..pandas_interface import sample_dict_to_dataframe
+
+        flat = {
+            k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+            for k, v in self.samples.items()
+        }
+        return sample_dict_to_dataframe(flat)
+
+    def posterior_mean(self) -> Dict[str, Array]:
+        return {k: jnp.mean(v, axis=(0, 1)) for k, v in self.samples.items()}
+
+    def posterior_var(self) -> Dict[str, Array]:
+        return {k: jnp.var(v, axis=(0, 1)) for k, v in self.samples.items()}
+
+    def __repr__(self):
+        d = self.diagnostics
+        return (
+            f"<MCMCResult chains×draws={next(iter(self.samples.values())).shape[:2]} "
+            f"divergences={int(d.get('num_divergences', -1))} "
+            f"accept={float(d.get('mean_accept_prob', float('nan'))):.3f}>"
+        )
+
+
+def make_potential(
+    comp: CompiledModel,
+    params,
+    given: Optional[Dict[str, Array]] = None,
+) -> Tuple[Callable[[Array], Array], Callable[[Array], Dict[str, Array]], Array]:
+    """Flat potential -log p(z) over unconstrained space + unravel + z0."""
+    z_template = comp.z_example()
+    z0_flat, unravel = jax.flatten_util.ravel_pytree(z_template)
+
+    def potential(z_flat: Array) -> Array:
+        return -comp.log_density_z(params, unravel(z_flat), given)
+
+    return potential, unravel, z0_flat
+
+
+def _run_single_chain(
+    kernel_step,
+    potential_fn,
+    key: Array,
+    z0: Array,
+    num_warmup: int,
+    num_samples: int,
+    in_slow: np.ndarray,
+    window_end: np.ndarray,
+    target_accept: float,
+    adapt_axes: Tuple[str, ...],
+    adapt_step_size: bool,
+    adapt_mass: bool,
+    init_step_size: float,
+):
+    dim = z0.shape[0]
+    state = init_chain_state(potential_fn, z0)
+    inv_mass = jnp.ones((dim,), z0.dtype)
+
+    k_find, k_warm, k_samp = jax.random.split(key, 3)
+    if adapt_step_size and num_warmup > 0:
+        step0 = find_reasonable_step_size(
+            potential_fn, z0, inv_mass, k_find, init_step=init_step_size,
+            target=target_accept,
+        )
+        step0 = _pmean(step0, adapt_axes)
+    else:
+        step0 = jnp.asarray(init_step_size, z0.dtype)
+    da = da_init(step0)
+    welford = welford_init(dim, z0.dtype)
+
+    def warmup_body(carry, xs):
+        state, da, welford, inv_mass = carry
+        k, slow, w_end = xs
+        step_size = jnp.exp(da.log_step)
+        state, stats = kernel_step(k, state, step_size, inv_mass)
+        ap = _pmean(stats["accept_prob"], adapt_axes)
+        da = da_update(da, ap, target_accept=target_accept)
+
+        if adapt_mass:
+            new_wf = welford_update(welford, state.z)
+            welford = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(slow, a, b), new_wf, welford
+            )
+            var = _pmean(welford_variance(welford), adapt_axes)
+            inv_mass = jnp.where(w_end, var, inv_mass)
+            welford = jax.tree_util.tree_map(
+                lambda a: jnp.where(w_end, jnp.zeros_like(a), a), welford
+            )
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(w_end, a, b), da_restart(da), da
+        )
+        return (state, da, welford, inv_mass), stats
+
+    if num_warmup > 0:
+        warm_keys = jax.random.split(k_warm, num_warmup)
+        (state, da, welford, inv_mass), warm_stats = jax.lax.scan(
+            warmup_body,
+            (state, da, welford, inv_mass),
+            (warm_keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
+        )
+        step_final = jnp.exp(da.log_step_avg) if adapt_step_size else step0
+    else:
+        step_final = step0
+
+    # re-evaluate pe/grad in case mass changed nothing (state already valid)
+    def sample_body(state, k):
+        state, stats = kernel_step(k, state, step_final, inv_mass)
+        return state, (state.z, stats)
+
+    samp_keys = jax.random.split(k_samp, num_samples)
+    state, (zs, stats) = jax.lax.scan(sample_body, state, samp_keys)
+    info = {"step_size": step_final, "inv_mass": inv_mass}
+    return zs, stats, info
+
+
+def sample(
+    model,
+    kernel=None,
+    num_samples: int = 1000,
+    num_warmup: int = 1000,
+    num_chains: int = 4,
+    key: Optional[Array] = None,
+    params=None,
+    given: Optional[Dict[str, Array]] = None,
+    init_values: Optional[Dict[str, Array]] = None,
+    target_accept: Optional[float] = None,
+    adapt_step_size: bool = True,
+    adapt_mass: bool = True,
+    init_step_size: float = 1.0,
+    chain_method: str = "vmap",
+    mesh=None,
+    chain_axis: str = "chain",
+    collect_deterministic: bool = True,
+) -> MCMCResult:
+    """Run MCMC on a ProbabilisticModel (or a raw potential callable).
+
+    chain_method:
+      * "vmap"      — all chains on the local device(s) via vmap.
+      * "shard_map" — chains sharded over `mesh`'s `chain_axis`; inside
+        each shard, local chains are vmapped; adaptation consensus runs
+        over BOTH axes (ICI psum + on-chip mean).
+    """
+    from .nuts import NUTS
+
+    if kernel is None:
+        kernel = NUTS()
+    if key is None:
+        from ..config import config
+
+        key = jax.random.PRNGKey(config.seed)
+    if target_accept is None:
+        target_accept = getattr(kernel, "target_accept", 0.8)
+
+    comp: CompiledModel = model.compiled() if hasattr(model, "compiled") else model
+    if params is None:
+        params = comp.initial_params
+    potential_fn, unravel, _ = make_potential(comp, params, given)
+    kernel_step = kernel.make_step(potential_fn)
+
+    in_slow, window_end = build_warmup_schedule(num_warmup)
+
+    # -- initial positions: prior sample per chain (or user init) ----------
+    k_init, k_run = jax.random.split(key)
+    if init_values is not None:
+        z_init_tree = comp.unconstrain(params, init_values)
+        z0_flat, _ = jax.flatten_util.ravel_pytree(z_init_tree)
+        z0 = jnp.broadcast_to(z0_flat, (num_chains,) + z0_flat.shape)
+    else:
+        def prior_z(k):
+            vals = comp.sample_one(params, k, given)
+            latents = {n: vals[n] for n in comp.continuous_latent_names}
+            z = comp.unconstrain(params, latents)
+            return jax.flatten_util.ravel_pytree(z)[0]
+
+        z0 = jax.vmap(prior_z)(jax.random.split(k_init, num_chains))
+
+    chain_keys = jax.random.split(k_run, num_chains)
+
+    def run_one(k, z, adapt_axes):
+        return _run_single_chain(
+            kernel_step, potential_fn, k, z, num_warmup, num_samples,
+            in_slow, window_end, target_accept, adapt_axes,
+            adapt_step_size, adapt_mass, init_step_size,
+        )
+
+    if chain_method == "vmap" or mesh is None:
+        runner = jax.jit(
+            jax.vmap(lambda k, z: run_one(k, z, (chain_axis,)), axis_name=chain_axis)
+        )
+        zs, stats, info = runner(chain_keys, z0)
+    elif chain_method == "shard_map":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        n_dev = mesh.shape[chain_axis]
+        if num_chains % n_dev != 0:
+            raise ValueError(
+                f"num_chains={num_chains} must divide over mesh axis "
+                f"{chain_axis!r} of size {n_dev}"
+            )
+
+        local_axis = "_local_chain"
+
+        def shard_body(keys, zs0):
+            return jax.vmap(
+                lambda k, z: run_one(k, z, (chain_axis, local_axis)),
+                axis_name=local_axis,
+            )(keys, zs0)
+
+        runner = jax.jit(
+            shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P(chain_axis), P(chain_axis)),
+                out_specs=P(chain_axis),
+                check_rep=False,
+            )
+        )
+        zs, stats, info = runner(chain_keys, z0)
+    else:
+        raise ValueError(f"unknown chain_method {chain_method!r}")
+
+    # -- constrain + collect -----------------------------------------------
+    names_out = list(comp.continuous_latent_names)
+    if collect_deterministic:
+        from ..variables import DeterministicVariable
+
+        names_out += [
+            v.name for v in comp.order
+            if isinstance(v, DeterministicVariable) and v.parents
+        ]
+
+    @jax.jit
+    def constrain_all(zs):
+        def one(zf):
+            vals = comp.constrain(params, unravel(zf), given)
+            return {n: vals[n] for n in names_out}
+
+        return jax.vmap(jax.vmap(one))(zs)
+
+    samples = constrain_all(zs)
+
+    # -- diagnostics --------------------------------------------------------
+    from .diagnostics import effective_sample_size, potential_scale_reduction
+
+    diagnostics: Dict[str, Any] = {
+        "num_divergences": jnp.sum(stats["diverging"]),
+        "mean_accept_prob": jnp.mean(stats["accept_prob"]),
+        "step_size": info["step_size"],
+        "inv_mass": info["inv_mass"],
+    }
+    ess = {}
+    rhat = {}
+    for n in comp.continuous_latent_names:
+        s = samples[n]
+        event_shape = s.shape[2:]
+        flat = s.reshape(s.shape[0], s.shape[1], -1)
+        ess[n] = effective_sample_size(flat).reshape(event_shape)
+        rhat[n] = potential_scale_reduction(flat).reshape(event_shape)
+    diagnostics["ess"] = ess
+    diagnostics["r_hat"] = rhat
+    if "num_steps" in stats:
+        diagnostics["total_leapfrog_steps"] = jnp.sum(stats["num_steps"])
+
+    return MCMCResult(samples, stats, diagnostics)

@@ -1,0 +1,260 @@
+"""Sequential Monte Carlo: particle filtering with sharded particles.
+
+Net-new vs reference (BASELINE.json: "SMC with particle resampling ...
+particles shard across the pod slice; systematic resampling runs over ICI
+collectives"; SURVEY.md §2 "Parallelism", §7.5).
+
+Design:
+  * The bootstrap particle filter is ONE ``lax.scan`` over time; the
+    particle axis is vmapped inside each step (dense VPU/MXU work).
+  * Systematic resampling: sorted-uniform positions against the weight
+    CDF via ``jnp.searchsorted`` — O(P log P), branch-free.
+  * Adaptive resampling at an ESS threshold uses ``lax.cond``-free
+    select (always compute indices, select identity when ESS is high) —
+    keeps the scan body straight-line for XLA.
+  * Multi-device: particles shard over a mesh axis.  Weight
+    normalization and ESS are ``psum``s; resampling all-gathers the
+    (small) weight vector, computes GLOBAL systematic indices, and
+    fetches winning particles with a gathered copy.  (A ppermute-based
+    redistribution that avoids the full state all-gather is the planned
+    optimization — see ops/resampling.py.)
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class StateSpace(NamedTuple):
+    """Explicit state-space spec consumed by the particle filter."""
+
+    init_sample: Callable  # (key) -> x0
+    init_log_prob: Callable  # (x0) -> scalar
+    trans_sample: Callable  # (key, x_prev, t) -> x
+    trans_log_prob: Callable  # (x, x_prev, t) -> scalar
+    obs_log_prob: Callable  # (y_t, x_t, t) -> scalar
+
+
+class SMCResult(NamedTuple):
+    log_marginal: Array  # log p(y_{1:T}) estimate
+    particles: Array  # final particles [P, ...]
+    weights: Array  # final normalized weights [P]
+    filter_means: Array  # E[x_t | y_{1:t}] per t
+    ess_history: Array  # effective sample size per t
+
+
+def systematic_resample_indices(key: Array, log_weights: Array) -> Array:
+    """Systematic resampling: stratified positions through the CDF."""
+    p = log_weights.shape[0]
+    w = jax.nn.softmax(log_weights)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    positions = (u0 + jnp.arange(p, dtype=w.dtype)) / p
+    idx = jnp.searchsorted(cdf, positions)
+    return jnp.clip(idx, 0, p - 1)
+
+
+def multinomial_resample_indices(key: Array, log_weights: Array) -> Array:
+    p = log_weights.shape[0]
+    return jax.random.categorical(key, log_weights, shape=(p,))
+
+
+def _ess(log_weights: Array) -> Array:
+    w = jax.nn.softmax(log_weights)
+    return 1.0 / jnp.sum(w * w)
+
+
+def particle_filter(
+    ssm: StateSpace,
+    ys: Array,
+    num_particles: int,
+    key: Array,
+    ess_threshold: float = 0.5,
+    resampling: str = "systematic",
+) -> SMCResult:
+    """Single-device bootstrap particle filter (vmapped particle axis)."""
+    t_len = ys.shape[0]
+    resampler = (
+        systematic_resample_indices if resampling == "systematic"
+        else multinomial_resample_indices
+    )
+
+    k_init, k_scan = jax.random.split(key)
+    x0 = jax.vmap(ssm.init_sample)(jax.random.split(k_init, num_particles))
+    lw0 = jax.vmap(lambda x: ssm.obs_log_prob(ys[0], x, 0))(x0)
+
+    def step(carry, inp):
+        x, lw, log_ml = carry
+        t, k = inp
+        k_res, k_prop = jax.random.split(k)
+
+        # adaptive resampling (branch-free select)
+        ess = _ess(lw)
+        do_resample = ess < ess_threshold * num_particles
+        idx = resampler(k_res, lw)
+        iota = jnp.arange(num_particles)
+        sel = jnp.where(do_resample, idx, iota)
+        x = jnp.take(x, sel, axis=0)
+        # after resampling weights reset to uniform (keep log-mean for ml)
+        lse = jax.scipy.special.logsumexp(lw)
+        lw = jnp.where(
+            do_resample, jnp.zeros_like(lw), lw - lse + jnp.log(float(num_particles))
+        )
+
+        keys = jax.random.split(k_prop, num_particles)
+        x_new = jax.vmap(lambda kk, xx: ssm.trans_sample(kk, xx, t))(keys, x)
+        l_obs = jax.vmap(lambda xx: ssm.obs_log_prob(ys[t], xx, t))(x_new)
+        lw_new = lw + l_obs
+
+        # incremental marginal-likelihood: log mean of unnormalized ratio
+        inc = jax.scipy.special.logsumexp(lw_new) - jax.scipy.special.logsumexp(lw)
+        log_ml = log_ml + inc
+
+        w = jax.nn.softmax(lw_new)
+        mean_t = jnp.tensordot(w, x_new, axes=(0, 0))
+        return (x_new, lw_new, log_ml), (mean_t, _ess(lw_new))
+
+    ts = jnp.arange(1, t_len)
+    keys = jax.random.split(k_scan, t_len - 1)
+    log_ml0 = jax.scipy.special.logsumexp(lw0) - jnp.log(float(num_particles))
+    (x, lw, log_ml), (means, esss) = jax.lax.scan(
+        step, (x0, lw0, log_ml0), (ts, keys)
+    )
+
+    w0 = jax.nn.softmax(lw0)
+    mean0 = jnp.tensordot(w0, x0, axes=(0, 0))
+    filter_means = jnp.concatenate([mean0[None], means], axis=0)
+    ess_history = jnp.concatenate([_ess(lw0)[None], esss])
+    return SMCResult(log_ml, x, jax.nn.softmax(lw), filter_means, ess_history)
+
+
+def sharded_particle_filter(
+    ssm: StateSpace,
+    ys: Array,
+    num_particles: int,
+    key: Array,
+    mesh,
+    particle_axis: str = "particle",
+    ess_threshold: float = 0.5,
+) -> SMCResult:
+    """Particle filter with particles sharded over a mesh axis.
+
+    Weight reductions are psums; resampling computes GLOBAL systematic
+    indices from an all-gathered weight vector, then gathers the selected
+    particle states.  All collectives are expressed with axis-name ops
+    inside ``shard_map`` and lower to ICI collectives on a pod slice.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[particle_axis]
+    if num_particles % n_dev != 0:
+        raise ValueError("num_particles must divide the particle-axis size")
+    local_p = num_particles // n_dev
+    t_len = ys.shape[0]
+
+    def body(keys_local, shared_key):
+        # keys_local: per-shard particle keys; shared_key: replicated, so
+        # resampling decisions are IDENTICAL on every shard.
+        my = jax.lax.axis_index(particle_axis)
+
+        x0 = jax.vmap(ssm.init_sample)(keys_local)
+        lw0 = jax.vmap(lambda x: ssm.obs_log_prob(ys[0], x, 0))(x0)
+
+        def step(carry, t):
+            x, lw, log_ml = carry
+            k_t = jax.random.fold_in(shared_key, t)
+            k_res = jax.random.fold_in(k_t, 1)
+            k_prop = jax.random.fold_in(k_t, 2)
+
+            # global weight vector (small): all-gather over ICI
+            lw_all = jax.lax.all_gather(lw, particle_axis).reshape(-1)
+            ess = _ess(lw_all)
+            do_resample = ess < ess_threshold * num_particles
+            idx_global = systematic_resample_indices(k_res, lw_all)
+            # this shard keeps global slots [my*local_p, (my+1)*local_p)
+            my_idx = jax.lax.dynamic_slice_in_dim(idx_global, my * local_p, local_p)
+            # gather full states (correct, bandwidth-heavy; opt: ppermute)
+            x_all = jax.lax.all_gather(x, particle_axis)
+            x_all = x_all.reshape((-1,) + x_all.shape[2:])
+            iota = my * local_p + jnp.arange(local_p)
+            sel = jnp.where(do_resample, my_idx, iota)
+            x = jnp.take(x_all, sel, axis=0)
+            lse = jax.scipy.special.logsumexp(lw_all)
+            lw = jnp.where(
+                do_resample,
+                jnp.zeros_like(lw),
+                lw - lse + jnp.log(float(num_particles)),
+            )
+
+            prop_keys = jax.vmap(lambda i: jax.random.fold_in(k_prop, i))(iota)
+            x_new = jax.vmap(lambda kk, xx: ssm.trans_sample(kk, xx, t))(prop_keys, x)
+            l_obs = jax.vmap(lambda xx: ssm.obs_log_prob(ys[t], xx, t))(x_new)
+            lw_new = lw + l_obs
+
+            lw_new_all = jax.lax.all_gather(lw_new, particle_axis).reshape(-1)
+            lw_prev_all = jax.lax.all_gather(lw, particle_axis).reshape(-1)
+            inc = (
+                jax.scipy.special.logsumexp(lw_new_all)
+                - jax.scipy.special.logsumexp(lw_prev_all)
+            )
+            log_ml = log_ml + inc
+
+            w_all = jax.nn.softmax(lw_new_all)
+            x_new_all = jax.lax.all_gather(x_new, particle_axis)
+            x_new_all = x_new_all.reshape((-1,) + x_new_all.shape[2:])
+            mean_t = jnp.tensordot(w_all, x_new_all, axes=(0, 0))
+            return (x_new, lw_new, log_ml), (mean_t, _ess(lw_new_all))
+
+        ts = jnp.arange(1, t_len)
+        lw0_all = jax.lax.all_gather(lw0, particle_axis).reshape(-1)
+        log_ml0 = jax.scipy.special.logsumexp(lw0_all) - jnp.log(float(num_particles))
+        (x, lw, log_ml), (means, esss) = jax.lax.scan(
+            step, (x0, lw0, log_ml0), ts
+        )
+        w0_all = jax.nn.softmax(lw0_all)
+        x0_all = jax.lax.all_gather(x0, particle_axis)
+        x0_all = x0_all.reshape((-1,) + x0_all.shape[2:])
+        mean0 = jnp.tensordot(w0_all, x0_all, axes=(0, 0))
+        filter_means = jnp.concatenate([mean0[None], means], axis=0)
+        ess_history = jnp.concatenate([_ess(lw0_all)[None], esss])
+        lw_all = jax.lax.all_gather(lw, particle_axis).reshape(-1)
+        return log_ml, x, jax.nn.softmax(lw_all), filter_means, ess_history
+
+    k_particles, k_shared = jax.random.split(key)
+    particle_keys = jax.random.split(k_particles, num_particles)
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(particle_axis), P()),
+        out_specs=(P(), P(particle_axis), P(), P(), P()),
+        check_rep=False,
+    )
+    log_ml, x, w, means, ess = jax.jit(sharded)(particle_keys, k_shared)
+    return SMCResult(log_ml, x, w, means, ess)
+
+
+def smc_sample(
+    ssm: StateSpace,
+    ys: Array,
+    num_particles: int = 1024,
+    key: Optional[Array] = None,
+    mesh=None,
+    particle_axis: str = "particle",
+    ess_threshold: float = 0.5,
+) -> SMCResult:
+    """User entry point: particle-filter an explicit StateSpace spec."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if mesh is not None:
+        return sharded_particle_filter(
+            ssm, ys, num_particles, key, mesh, particle_axis, ess_threshold
+        )
+    return jax.jit(
+        lambda k: particle_filter(ssm, ys, num_particles, k, ess_threshold)
+    )(key)

@@ -1,0 +1,254 @@
+"""Stochastic variational inference + point estimation.
+
+Reference parity: Brancher's ``inference.perform_inference`` training loop
+and inference-method classes — ``ReverseKL`` (ELBO), ``MaximumLikelihood``
+/ ``MAP``, ``WassersteinVariationalGradientDescent`` (SURVEY.md §2
+"Inference driver", §3.4, §3.5).
+
+TPU-first redesign (BASELINE.json: "autograd ELBO → jax.grad with sharded
+Monte-Carlo batches"): the reference's N-iteration Python loop with two
+full graph traversals + torch autograd per step becomes ONE jitted
+``lax.scan`` over steps; each step vmaps the S-sample Monte-Carlo batch
+and takes an optax update of all parameters (guide params, learnable model
+params, flax modules).  The MC batch dimension can shard over a mesh axis
+('batch') — the ELBO mean then reduces with psum over ICI
+(see ``parallel`` and ``dryrun_multichip``).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compiler import CompiledModel
+from .gradient_estimators import (
+    BlackBoxEstimator,
+    GradientEstimator,
+    PathwiseDerivativeEstimator,
+    Taylor1Estimator,
+)
+from .guides import AutoMeanField, DSLGuide
+
+Array = jax.Array
+
+
+def _resolve_optimizer(optimizer, lr):
+    import optax
+
+    if isinstance(optimizer, str):
+        name = optimizer.lower()
+        table = {
+            "adam": optax.adam,
+            "adamw": optax.adamw,
+            "sgd": optax.sgd,
+            "rmsprop": optax.rmsprop,
+            "adagrad": optax.adagrad,
+        }
+        if name not in table:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        return table[name](lr)
+    if callable(optimizer) and not hasattr(optimizer, "update"):
+        return optimizer(lr)
+    return optimizer  # assume an optax GradientTransformation
+
+
+class InferenceMethod:
+    """Base class for inference-method strategy objects."""
+
+    def make_loss(self, p_comp: CompiledModel, guide) -> Callable:
+        raise NotImplementedError
+
+
+class ReverseKL(InferenceMethod):
+    """Negative-ELBO minimization (the reference's default method)."""
+
+    def __init__(self, gradient_estimator: Optional[GradientEstimator] = None):
+        self.estimator = gradient_estimator or PathwiseDerivativeEstimator()
+
+    def make_loss(self, p_comp: CompiledModel, guide):
+        est = self.estimator
+        latent_set = set(p_comp.latent_names)
+        loaders = tuple(p_comp.data_loader_names)
+
+        def loss_fn(opt_params, key, num_samples: int):
+            p_params, q_params = opt_params["p"], opt_params["q"]
+            k_data, k_guide = jax.random.split(key)
+            given_data = (
+                p_comp.sample_subgraph_one(p_params, k_data, loaders) if loaders else {}
+            )
+            values, log_q = guide.sample_and_log_prob(
+                q_params, k_guide, num_samples,
+                detach=est.detach_samples, deterministic=est.deterministic,
+            )
+            if guide.space == "constrained":
+                latents = {k: v for k, v in values.items() if k in latent_set}
+                log_p = jax.vmap(
+                    lambda s: p_comp.log_prob_one(p_params, {**s, **given_data})
+                )(latents)
+            else:
+                log_p = jax.vmap(
+                    lambda z: p_comp.log_density_z(p_params, z, given_data)
+                )(values)
+            return est.surrogate_loss(log_p, log_q)
+
+        return loss_fn
+
+
+class MaximumLikelihood(InferenceMethod):
+    """Maximize the observed-data log-likelihood over learnable params;
+    latent RVs (if any) are marginalized by prior Monte-Carlo."""
+
+    def make_loss(self, p_comp: CompiledModel, guide):
+        loaders = tuple(p_comp.data_loader_names)
+
+        def loss_fn(opt_params, key, num_samples: int):
+            p_params = opt_params["p"]
+
+            def one(k):
+                values, _ = p_comp._walk_sample(p_comp._as_store(p_params), k, {})
+                return p_comp.log_likelihood_one(p_params, values)
+
+            keys = jax.random.split(key, num_samples)
+            return -jnp.mean(jax.vmap(one)(keys))
+
+        return loss_fn
+
+
+class MAP(InferenceMethod):
+    """Joint MAP: optimize the unconstrained latent point z together with
+    learnable params; loss = -log p(z, data) including Jacobian."""
+
+    def make_loss(self, p_comp: CompiledModel, guide):
+        loaders = tuple(p_comp.data_loader_names)
+
+        def loss_fn(opt_params, key, num_samples: int):
+            p_params = opt_params["p"]
+            z = opt_params["z"]
+            given_data = (
+                p_comp.sample_subgraph_one(p_params, key, loaders) if loaders else {}
+            )
+            return -p_comp.log_density_z(p_params, z, given_data)
+
+        return loss_fn
+
+
+class WassersteinVariationalGradientDescent(InferenceMethod):
+    """Particle-based variational method (reference's WVGD capability;
+    SURVEY.md §2 "Particle tools").  Dispatches to the particle engine in
+    ``particle_inference_tools`` — see that module for the TPU-side
+    algorithm notes."""
+
+    def __init__(self, number_particles: int = 50, kernel_bandwidth: Optional[float] = None):
+        self.number_particles = number_particles
+        self.kernel_bandwidth = kernel_bandwidth
+
+
+class InferenceResult:
+    def __init__(self, params, loss_curve, guide=None, extras=None):
+        self.params = params
+        self.loss_curve = loss_curve
+        self.guide = guide
+        self.extras = extras or {}
+
+    def __repr__(self):
+        final = float(self.loss_curve[-1]) if len(self.loss_curve) else float("nan")
+        return f"<InferenceResult iterations={len(self.loss_curve)} final_loss={final:.4f}>"
+
+
+def perform_inference(
+    joint_model,
+    number_iterations: int = 1000,
+    number_samples: int = 10,
+    optimizer: Any = "adam",
+    lr: float = 0.01,
+    inference_method: Optional[InferenceMethod] = None,
+    posterior_model=None,
+    guide=None,
+    key: Optional[Array] = None,
+    params_init: Optional[Dict[str, Any]] = None,
+) -> InferenceResult:
+    """Run SVI / point estimation (reference entry point, SURVEY.md §3.4).
+
+    The guide is chosen by precedence: explicit ``guide`` arg > DSL
+    ``posterior_model`` (or one attached via ``set_posterior_model``) >
+    automatic mean-field in unconstrained space.
+    """
+    import optax
+
+    if inference_method is None:
+        inference_method = ReverseKL()
+    if key is None:
+        from ..config import config
+
+        key = jax.random.PRNGKey(config.seed)
+
+    if isinstance(inference_method, WassersteinVariationalGradientDescent):
+        from .particle_inference_tools import run_wvgd
+
+        return run_wvgd(
+            joint_model,
+            number_iterations=number_iterations,
+            number_particles=inference_method.number_particles,
+            optimizer=optimizer,
+            lr=lr,
+            key=key,
+            kernel_bandwidth=inference_method.kernel_bandwidth,
+        )
+
+    p_comp: CompiledModel = joint_model.compiled()
+
+    if guide is None:
+        q_model = posterior_model or getattr(joint_model, "posterior_model", None)
+        if q_model is not None:
+            guide = DSLGuide(q_model)
+        elif isinstance(inference_method, (MaximumLikelihood, MAP)):
+            guide = None
+        else:
+            guide = AutoMeanField(p_comp)
+
+    k_init, k_run = jax.random.split(key)
+    opt_params: Dict[str, Any] = {"p": dict(p_comp.initial_params)}
+    if guide is not None:
+        opt_params["q"] = guide.init_params(k_init)
+    if isinstance(inference_method, MAP):
+        opt_params["z"] = p_comp.z_example()
+    if params_init:
+        opt_params.update(params_init)
+
+    loss_fn = inference_method.make_loss(p_comp, guide)
+    tx = _resolve_optimizer(optimizer, lr)
+    opt_state = tx.init(opt_params)
+
+    @jax.jit
+    def run(opt_params, opt_state, key):
+        def step(carry, k):
+            opt_params, opt_state = carry
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, k, number_samples)
+            )(opt_params)
+            updates, opt_state = tx.update(grads, opt_state, opt_params)
+            opt_params = optax.apply_updates(opt_params, updates)
+            return (opt_params, opt_state), loss
+
+        keys = jax.random.split(key, number_iterations)
+        (opt_params, opt_state), losses = jax.lax.scan(
+            step, (opt_params, opt_state), keys
+        )
+        return opt_params, losses
+
+    opt_params, losses = run(opt_params, opt_state, k_run)
+
+    # reference behaviour: record the loss curve on the model
+    joint_model.diagnostics["loss curve"] = np.asarray(losses)
+
+    extras = {}
+    if isinstance(inference_method, MAP):
+        extras["map_point"] = p_comp.constrain(opt_params["p"], opt_params["z"])
+    # push trained q params back onto attached posterior model for
+    # get_posterior_sample parity
+    if guide is not None and isinstance(guide, DSLGuide):
+        guide.comp.initial_params = opt_params["q"]
+        joint_model._trained_params = opt_params
+    return InferenceResult(opt_params, np.asarray(losses), guide=guide, extras=extras)

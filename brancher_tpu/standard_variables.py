@@ -1,0 +1,159 @@
+"""User-facing variable constructors (the standard variable zoo).
+
+Reference parity: Brancher's ``standard_variables.py`` — one constructor
+class per distribution, each accepting scalars / arrays / variables /
+expressions in every parameter position (SURVEY.md §2 "Standard
+variables"; roster per SURVEY.md L4).  Constructor call signatures keep the
+reference's positional style, e.g. ``NormalVariable(mu, sigma, "x")``.
+
+TPU-first: constructors produce plain ``RandomVariable`` data nodes over
+the pure distribution kernels in ``distributions.py``; nothing here
+executes until compilation.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+from . import distributions as D
+from .variables import DeterministicVariable, RandomVariable
+
+__all__ = [
+    "NormalVariable", "LogNormalVariable", "HalfNormalVariable",
+    "CauchyVariable", "HalfCauchyVariable", "LaplaceVariable",
+    "LogisticVariable", "StudentTVariable", "UniformVariable",
+    "GammaVariable", "InverseGammaVariable", "ExponentialVariable",
+    "Chi2Variable", "BetaVariable", "BernoulliVariable", "BinomialVariable",
+    "PoissonVariable", "GeometricVariable", "CategoricalVariable",
+    "ConcreteVariable", "MultivariateNormalVariable", "DirichletVariable",
+    "DeterministicVariable", "EmpiricalVariable", "RandomIndices",
+]
+
+
+def _rv(dist, links, name, plate_shape, log_prob_scale, is_observed=None):
+    rv = RandomVariable(
+        dist,
+        name=name,
+        links=links,
+        plate_shape=tuple(plate_shape or ()),
+        log_prob_scale=log_prob_scale,
+    )
+    if is_observed is not None and not isinstance(is_observed, bool):
+        rv.observe(is_observed)
+    return rv
+
+
+def NormalVariable(loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Normal(), {"loc": loc, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def LogNormalVariable(loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.LogNormal(), {"loc": loc, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def HalfNormalVariable(scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.HalfNormal(), {"scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def CauchyVariable(loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Cauchy(), {"loc": loc, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def HalfCauchyVariable(scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.HalfCauchy(), {"scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def LaplaceVariable(loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Laplace(), {"loc": loc, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def LogisticVariable(loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Logistic(), {"loc": loc, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def StudentTVariable(df, loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.StudentT(), {"df": df, "loc": loc, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def UniformVariable(low, high, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Uniform(), {"low": low, "high": high}, name, plate_shape, log_prob_scale, observed)
+
+
+def GammaVariable(concentration, rate, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Gamma(), {"concentration": concentration, "rate": rate}, name, plate_shape, log_prob_scale, observed)
+
+
+def InverseGammaVariable(concentration, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.InverseGamma(), {"concentration": concentration, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def ExponentialVariable(rate, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Exponential(), {"rate": rate}, name, plate_shape, log_prob_scale, observed)
+
+
+def Chi2Variable(df, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Chi2(), {"df": df}, name, plate_shape, log_prob_scale, observed)
+
+
+def BetaVariable(alpha, beta, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Beta(), {"alpha": alpha, "beta": beta}, name, plate_shape, log_prob_scale, observed)
+
+
+def BernoulliVariable(probs=None, name=None, logits=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Bernoulli(), {"probs": probs, "logits": logits}, name, plate_shape, log_prob_scale, observed)
+
+
+def BinomialVariable(total_count, probs=None, name=None, logits=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(
+        D.Binomial(),
+        {"total_count": total_count, "probs": probs, "logits": logits},
+        name, plate_shape, log_prob_scale, observed,
+    )
+
+
+def PoissonVariable(rate, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Poisson(), {"rate": rate}, name, plate_shape, log_prob_scale, observed)
+
+
+def GeometricVariable(probs=None, name=None, logits=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Geometric(), {"probs": probs, "logits": logits}, name, plate_shape, log_prob_scale, observed)
+
+
+def CategoricalVariable(probs=None, name=None, logits=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Categorical(), {"probs": probs, "logits": logits}, name, plate_shape, log_prob_scale, observed)
+
+
+def ConcreteVariable(temperature, logits, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Concrete(), {"temperature": temperature, "logits": logits}, name, plate_shape, log_prob_scale, observed)
+
+
+def MultivariateNormalVariable(
+    loc, name=None, covariance_matrix=None, scale_tril=None,
+    plate_shape=(), log_prob_scale=1.0, observed=None,
+):
+    return _rv(
+        D.MultivariateNormal(),
+        {"loc": loc, "covariance_matrix": covariance_matrix, "scale_tril": scale_tril},
+        name, plate_shape, log_prob_scale, observed,
+    )
+
+
+def DirichletVariable(concentration, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(D.Dirichlet(), {"concentration": concentration}, name, plate_shape, log_prob_scale, observed)
+
+
+def EmpiricalVariable(dataset, name=None, indices=None, batch_size=None):
+    """Data-loader node: draws rows of ``dataset`` (SURVEY.md §2).
+
+    With ``indices`` (a variable, typically ``RandomIndices``), returns
+    ``dataset[indices]``; with ``batch_size``, draws iid-uniform rows; with
+    neither, yields the full dataset each sample.
+    """
+    links = {"dataset": dataset}
+    if indices is not None:
+        links["indices"] = indices
+    return RandomVariable(D.Empirical(batch_size=batch_size), name=name, links=links)
+
+
+def RandomIndices(dataset_size, batch_size, name=None):
+    """Minibatch index sampler (reference's RandomIndices, SURVEY.md §2)."""
+    return RandomVariable(D.RandomIndices(dataset_size, batch_size), name=name, links={})

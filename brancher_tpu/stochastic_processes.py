@@ -1,0 +1,193 @@
+"""Time-series / stochastic-process variables, compiled with lax.scan.
+
+Reference parity: Brancher builds time-series models (AR, state-space) by
+Python loops creating one variable per timestep (SURVEY.md §5
+"Long-context": "sequences are built by Python loops over scalar states").
+That idiom unrolls — catastrophic under XLA tracing for large T.
+
+TPU-first replacement (BASELINE.json: "sequential samplers → lax.scan
+kernels"; SURVEY.md §7.6): a whole series is ONE RandomVariable whose
+distribution kernels internally ``lax.scan`` (sampling) and VECTORIZE over
+time (log-prob: the transition density factorizes, so all T terms
+evaluate in parallel on the VPU after a shift — no sequential dependence
+in the hot NUTS path).  T=1e5+ compiles O(1).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .distributions import Distribution, Normal, REAL
+from .variables import RandomVariable
+
+Array = jax.Array
+
+
+class MarkovSeries(Distribution):
+    """Generic first-order Markov chain of length T.
+
+    init_dist/init param names are bound from links prefixed ``init_``;
+    transition params come from ``transition_fn(prev, **link_params)``.
+    Value shape: (T,) + state_shape.
+    """
+
+    reparameterized = True
+    support = REAL
+
+    def __init__(
+        self,
+        length: int,
+        transition_dist: Distribution,
+        transition_fn: Callable[..., Dict[str, Array]],
+        init_dist: Optional[Distribution] = None,
+    ):
+        self.length = int(length)
+        self.transition_dist = transition_dist
+        self.transition_fn = transition_fn
+        self.init_dist = init_dist or transition_dist
+        self.is_discrete = transition_dist.is_discrete
+        self.support = transition_dist.support
+
+    def _split_params(self, params):
+        init_p = {k[len("init_"):]: v for k, v in params.items() if k.startswith("init_")}
+        trans_p = {k: v for k, v in params.items() if not k.startswith("init_")}
+        return init_p, trans_p
+
+    def sample(self, key, **params):
+        init_p, trans_p = self._split_params(params)
+        k0, ks = jax.random.split(key)
+        x0 = self.init_dist.sample(k0, **init_p)
+
+        def step(carry, k):
+            prev = carry
+            p = self.transition_fn(prev, **trans_p)
+            x = self.transition_dist.sample(k, **p)
+            return x, x
+
+        keys = jax.random.split(ks, self.length - 1)
+        _, xs = jax.lax.scan(step, x0, keys)
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    def log_prob(self, value, **params):
+        init_p, trans_p = self._split_params(params)
+        lp0 = self.init_dist.log_prob(value[0], **init_p)
+        # vectorize the transition density over time: params of x[t] depend
+        # only on x[t-1]; evaluate for all t at once (VPU, no scan).
+        prev = value[:-1]
+        cur = value[1:]
+        p = self.transition_fn(prev, **trans_p)
+        lps = self.transition_dist.log_prob(cur, **p)
+        lp0 = jnp.broadcast_to(lp0, lps.shape[1:])
+        return jnp.concatenate([lp0[None], lps], axis=0)
+
+
+class AutoRegressive(Distribution):
+    """AR(p) Gaussian series: x_t = sum_i c_i x_{t-i} + b + sigma eps_t.
+
+    Covers the reference's AR(1)/ARMA example family (SURVEY.md §2
+    "Examples") and BASELINE config #3.  Coefficients/noise come in as
+    links, so priors over them (NUTS targets) work naturally.
+    """
+
+    param_names = ("coefficients", "noise_scale", "bias", "init_loc", "init_scale")
+    reparameterized = True
+    support = REAL
+
+    def __init__(self, length: int, order: int = 1):
+        self.length = int(length)
+        self.order = int(order)
+
+    def _coeffs(self, coefficients):
+        c = jnp.atleast_1d(jnp.asarray(coefficients))
+        return c
+
+    def sample(self, key, *, coefficients, noise_scale, bias=0.0, init_loc=0.0, init_scale=1.0):
+        c = self._coeffs(coefficients)
+        p = self.order
+        k0, ks = jax.random.split(key)
+        x0 = init_loc + init_scale * jax.random.normal(k0, (p,))
+
+        def step(carry, k):
+            window = carry  # [p], newest last
+            mean = jnp.dot(window[::-1], c) + bias
+            x = mean + noise_scale * jax.random.normal(k, ())
+            window = jnp.concatenate([window[1:], x[None]])
+            return window, x
+
+        keys = jax.random.split(ks, self.length - p)
+        _, xs = jax.lax.scan(step, x0, keys)
+        return jnp.concatenate([x0, xs])
+
+    def log_prob(self, value, *, coefficients, noise_scale, bias=0.0, init_loc=0.0, init_scale=1.0):
+        c = self._coeffs(coefficients)
+        p = self.order
+        init_lp = Normal().log_prob(value[:p], loc=init_loc, scale=init_scale)
+        # mean_t = sum_i c_i x_{t-i}: build lagged views (static shifts) and
+        # contract — fully parallel over time.
+        t = value.shape[0]
+        lags = jnp.stack([value[p - 1 - i : t - 1 - i] for i in range(p)], axis=-1)  # [T-p, p]
+        means = lags @ c + bias
+        lp = Normal().log_prob(value[p:], loc=means, scale=noise_scale)
+        return jnp.concatenate([init_lp, lp])
+
+
+def ARProcess(
+    length: int,
+    coefficients,
+    noise_scale,
+    name: Optional[str] = None,
+    order: Optional[int] = None,
+    bias=0.0,
+    init_loc=0.0,
+    init_scale=1.0,
+    log_prob_scale: float = 1.0,
+):
+    """AR(p) series variable (order inferred from coefficients if static)."""
+    if order is None:
+        try:
+            order = len(coefficients)
+        except TypeError:
+            order = 1
+    return RandomVariable(
+        AutoRegressive(length, order),
+        name=name,
+        links={
+            "coefficients": coefficients,
+            "noise_scale": noise_scale,
+            "bias": bias,
+            "init_loc": init_loc,
+            "init_scale": init_scale,
+        },
+        log_prob_scale=log_prob_scale,
+    )
+
+
+def MarkovProcess(
+    length: int,
+    transition_dist: Distribution,
+    transition_fn: Callable[..., Dict[str, Array]],
+    name: Optional[str] = None,
+    init_dist: Optional[Distribution] = None,
+    links: Optional[Dict] = None,
+    init_links: Optional[Dict] = None,
+):
+    """Generic Markov-series variable.
+
+    Example (linear-Gaussian latent chain)::
+
+        x = MarkovProcess(
+            T, Normal(), lambda prev, a: {"loc": a * prev, "scale": 0.5},
+            links={"a": a_var}, init_links={"loc": 0.0, "scale": 1.0},
+            init_dist=Normal(), name="x",
+        )
+    """
+    all_links = dict(links or {})
+    for k, v in (init_links or {}).items():
+        all_links[f"init_{k}"] = v
+    return RandomVariable(
+        MarkovSeries(length, transition_dist, transition_fn, init_dist),
+        name=name,
+        links=all_links,
+    )
