@@ -1,0 +1,126 @@
+"""Headline benchmark: NUTS effective-samples/sec on Bayesian logistic
+regression (BASELINE.json metric: "effective samples/sec/chip (NUTS)").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference stack is PyTorch eager on CPU (Brancher delegates
+all compute to torch; SURVEY.md §0/§6 — no published numbers, so the
+baseline is MEASURED here).  Because the reference has no NUTS, the
+baseline is constructed the way BASELINE.md prescribes: a reference-frame
+oracle — the identical model's leapfrog gradient evaluated in eager
+PyTorch on CPU (chains batched, which flatters the baseline), charged for
+the same number of leapfrog steps our NUTS actually used, with the same
+ESS credited.  vs_baseline = our ESS/sec ÷ oracle ESS/sec.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from brancher_tpu.models.logistic_regression import (
+        logistic_regression_model,
+        make_logreg_data,
+    )
+    from brancher_tpu.inference import sample, NUTS
+
+    n_points, dim = 1000, 32
+    chains, warmup, draws = 512, 300, 300
+    x, y, _ = make_logreg_data(num_points=n_points, dim=dim, seed=0)
+    model = logistic_regression_model(x, y)
+
+    kwargs = dict(
+        kernel=NUTS(max_depth=8),
+        num_samples=draws,
+        num_warmup=warmup,
+        num_chains=chains,
+        key=jax.random.PRNGKey(0),
+    )
+
+    log(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")
+    t0 = time.time()
+    res = sample(model, **kwargs)
+    jax.block_until_ready(res.samples["w"])
+    t_compile_run = time.time() - t0
+    log(f"first run (compile+run): {t_compile_run:.1f}s")
+
+    t0 = time.time()
+    res = sample(model, **kwargs)
+    jax.block_until_ready(res.samples["w"])
+    t_run = time.time() - t0
+    log(f"cached run: {t_run:.1f}s")
+
+    ess = np.asarray(res.diagnostics["ess"]["w"])
+    min_ess = float(np.min(ess))
+    total_leapfrog = int(res.diagnostics["total_leapfrog_steps"])
+    # warmup leapfrog count is not in stats; approximate warmup cost by the
+    # same steps/draw rate (conservative: charge it fully).
+    total_leapfrog_incl_warmup = total_leapfrog * (warmup + draws) // draws
+    ess_per_sec = min_ess / t_run
+    log(
+        f"min ESS {min_ess:.0f} over {dim} params, divergences "
+        f"{int(res.diagnostics['num_divergences'])}, "
+        f"leapfrog steps (draws) {total_leapfrog}"
+    )
+
+    # ---- PyTorch eager CPU oracle: time per batched leapfrog step -------
+    import torch
+
+    xt = torch.tensor(x)
+    yt = torch.tensor(np.asarray(y, np.float32))
+    wt = torch.zeros((chains, dim), requires_grad=True)
+
+    def torch_neg_log_post(w):
+        logits = w @ xt.T  # [chains, N]
+        ll = yt * torch.nn.functional.logsigmoid(logits) + (1 - yt) * torch.nn.functional.logsigmoid(-logits)
+        lp = -0.5 * (w * w).sum(-1)
+        return -(ll.sum(-1) + lp).sum()
+
+    # one leapfrog step = one gradient eval + elementwise updates (eager)
+    r = torch.randn(chains, dim)
+    n_timed = 50
+    # warm
+    for _ in range(3):
+        loss = torch_neg_log_post(wt)
+        (g,) = torch.autograd.grad(loss, wt)
+    t0 = time.time()
+    for _ in range(n_timed):
+        loss = torch_neg_log_post(wt)
+        (g,) = torch.autograd.grad(loss, wt)
+        with torch.no_grad():
+            r = r - 0.5 * 0.01 * g
+            wnew = wt + 0.01 * r
+        wt = wnew.detach().requires_grad_(True)
+    t_torch_step = (time.time() - t0) / n_timed
+    log(f"torch eager CPU: {t_torch_step*1e3:.2f} ms / batched leapfrog step")
+
+    # oracle charged for the same trajectory at its own step rate
+    baseline_time = (total_leapfrog_incl_warmup / chains) * t_torch_step
+    baseline_ess_per_sec = min_ess / baseline_time
+    vs_baseline = ess_per_sec / baseline_ess_per_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": f"NUTS min-ESS/sec/chip, Bayesian logreg N={n_points} d={dim}, {chains} chains",
+                "value": round(ess_per_sec, 2),
+                "unit": "ess/sec",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,5 +19,12 @@ from .variables import (
 )
 from .standard_variables import *  # noqa: F401,F403
 from .compiler import CompiledModel, compile_model
+from .stochastic_processes import ARProcess, MarkovProcess
+from .transformations import (
+    PlanarFlow,
+    Sigmoid as SigmoidFlow,
+    TransformedVariable,
+    TriangularLinear,
+)
 
 __version__ = "0.1.0"

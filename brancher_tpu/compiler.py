@@ -177,9 +177,17 @@ class CompiledModel:
                 continue
             assert isinstance(v, RandomVariable)
             p = self._expand_plate(v, v.eval_params(values, store))
-            value = v.distribution.sample(jax.random.fold_in(key, i), **p)
+            k = jax.random.fold_in(key, i)
+            if hasattr(v.distribution, "sample_and_log_prob"):
+                # fused path (flow-transformed variables: density is
+                # accumulated along the sampling direction)
+                value, lp = v.distribution.sample_and_log_prob(k, **p)
+                lp = v.log_prob_scale * lp if v.log_prob_scale != 1.0 else lp
+            else:
+                value = v.distribution.sample(k, **p)
+                lp = self._rv_log_prob(v, value, p)
             values[v.name] = value
-            logp = logp + self._rv_log_prob(v, value, p)
+            logp = logp + lp
         return values, logp
 
     def _walk_log_prob(self, store: ParamStore, values_in: Dict[str, Array]) -> Array:

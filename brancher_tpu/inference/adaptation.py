@@ -154,22 +154,25 @@ def find_reasonable_step_size(
         h1 = pe1 + kinetic_energy(r1, inv_mass)
         return jnp.exp(jnp.clip(h0 - h1, -1e3, 0.0)), jnp.isfinite(h1)
 
-    p0, ok = accept_prob(jnp.asarray(init_step))
+    p0, ok0 = accept_prob(jnp.asarray(init_step))
+    p0 = jnp.where(ok0, p0, 0.0)
     direction = jnp.where(p0 > target, 1.0, -1.0)
-    direction = jnp.where(ok, direction, -1.0)
 
     def cond(carry):
-        step, i = carry
-        p, ok = accept_prob(step)
-        p = jnp.where(ok, p, 0.0)
+        step, p, i = carry
         crossed = jnp.where(direction > 0, p <= target, p >= target)
         return jnp.logical_and(~crossed, i < max_iters)
 
     def body(carry):
-        step, i = carry
-        return step * jnp.where(direction > 0, 2.0, 0.5), i + 1
+        step, p, i = carry
+        step = step * jnp.where(direction > 0, 2.0, 0.5)
+        p_new, ok = accept_prob(step)
+        p_new = jnp.where(ok, p_new, 0.0)
+        return step, p_new, i + 1
 
-    step, _ = jax.lax.while_loop(cond, body, (jnp.asarray(init_step, z.dtype), 0))
+    step, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(init_step, z.dtype), p0, 0)
+    )
     return step
 
 

@@ -46,16 +46,19 @@ class DSLGuide:
     def init_params(self, key):
         return self.comp.initial_params
 
-    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False):
+    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False,
+                            given=None):
         comp = self.comp
+        names = set(comp.names)
+        g = {k: v for k, v in (given or {}).items() if k in names}
 
         def one(k):
             store = comp._as_store(params)
             if deterministic:
-                values = comp.mean_one(params, k)
+                values = comp._walk_mean(store, g)
                 logq = comp._walk_log_prob(store, values)
                 return values, logq
-            values, logq = comp._walk_sample(store, k, {})
+            values, logq = comp._walk_sample(store, k, g)
             return values, logq
 
         keys = jax.random.split(key, n)
@@ -90,7 +93,7 @@ class AutoMeanField:
         )
         return z, logq
 
-    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False):
+    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False, given=None):
         keys = jax.random.split(key, n)
         z, logq = jax.vmap(lambda k: self._sample_flat(params, k, deterministic))(keys)
         if detach:
@@ -134,7 +137,7 @@ class AutoFullRankNormal:
         L = jnp.tril(params["tril"], -1) + jnp.diag(jnp.exp(params["log_diag"]))
         return L
 
-    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False):
+    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False, given=None):
         L = self._scale_tril(params)
 
         def one(k):
@@ -237,7 +240,7 @@ class AutoIAF:
         z, logdet = self._flow_forward(params, z0)
         return z, log_base - logdet
 
-    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False):
+    def sample_and_log_prob(self, params, key, n, detach=False, deterministic=False, given=None):
         keys = jax.random.split(key, n)
         z, logq = jax.vmap(lambda k: self._sample_flat(params, k, deterministic))(keys)
         if detach:

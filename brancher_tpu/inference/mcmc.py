@@ -245,7 +245,7 @@ def sample(
         zs, stats, info = runner(chain_keys, z0)
     elif chain_method == "shard_map":
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         n_dev = mesh.shape[chain_axis]
         if num_chains % n_dev != 0:
@@ -268,7 +268,7 @@ def sample(
                 mesh=mesh,
                 in_specs=(P(chain_axis), P(chain_axis)),
                 out_specs=P(chain_axis),
-                check_rep=False,
+                check_vma=False,
             )
         )
         zs, stats, info = runner(chain_keys, z0)

@@ -136,18 +136,19 @@ class NUTS:
                 cum_rsum = s.cum_rsum + leaf.r
 
                 # U-turn checks against completed subtrees ending at this
-                # (odd) leaf: slots popcount(n)-trailing_ones(n) .. popcount(n)-1
+                # (odd) leaf: slots popcount(n)-trailing_ones(n) .. popcount(n)-1.
+                # Statically unrolled masked sweep over the max_depth+1 slots
+                # (cheap VPU work) — avoids a dynamic-bound while loop, which
+                # costs far more in compile time and per-iteration latency.
                 trailing_ones = jax.lax.population_count((n ^ (n + 1)) >> 1)
                 idx_hi = pc  # exclusive
                 idx_lo = pc - trailing_ones
-
-                def check(k_slot, turning):
+                turning = jnp.asarray(False)
+                for k_slot in range(max_depth + 1):
+                    active = jnp.logical_and(k_slot >= idx_lo, k_slot < idx_hi)
                     rho = cum_rsum - rs_ck[k_slot]
-                    return jnp.logical_or(
-                        turning, _is_turning(rho, r_ck[k_slot], leaf.r, inv_mass)
-                    )
-
-                turning = jax.lax.fori_loop(idx_lo, idx_hi, check, jnp.asarray(False))
+                    turn_k = _is_turning(rho, r_ck[k_slot], leaf.r, inv_mass)
+                    turning = jnp.logical_or(turning, jnp.logical_and(active, turn_k))
                 turning = jnp.logical_and(jnp.logical_not(even), turning)
 
                 # progressive multinomial proposal within the subtree

@@ -150,7 +150,7 @@ def sharded_particle_filter(
     inside ``shard_map`` and lower to ICI collectives on a pod slice.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[particle_axis]
     if num_particles % n_dev != 0:
@@ -233,7 +233,7 @@ def sharded_particle_filter(
         mesh=mesh,
         in_specs=(P(particle_axis), P()),
         out_specs=(P(), P(particle_axis), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     log_ml, x, w, means, ess = jax.jit(sharded)(particle_keys, k_shared)
     return SMCResult(log_ml, x, w, means, ess)

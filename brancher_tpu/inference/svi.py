@@ -81,6 +81,7 @@ class ReverseKL(InferenceMethod):
             values, log_q = guide.sample_and_log_prob(
                 q_params, k_guide, num_samples,
                 detach=est.detach_samples, deterministic=est.deterministic,
+                given=given_data,
             )
             if guide.space == "constrained":
                 latents = {k: v for k, v in values.items() if k in latent_set}
@@ -168,12 +169,20 @@ def perform_inference(
     guide=None,
     key: Optional[Array] = None,
     params_init: Optional[Dict[str, Any]] = None,
+    mesh=None,
+    batch_axis: str = "batch",
 ) -> InferenceResult:
     """Run SVI / point estimation (reference entry point, SURVEY.md §3.4).
 
     The guide is chosen by precedence: explicit ``guide`` arg > DSL
     ``posterior_model`` (or one attached via ``set_posterior_model``) >
     automatic mean-field in unconstrained space.
+
+    With ``mesh``: the Monte-Carlo sample batch (and any minibatch draw)
+    splits across the mesh's ``batch_axis``; each device evaluates its
+    S/n_dev-sample ELBO shard and the mean reduces with ``pmean`` (psum
+    over ICI) — BASELINE.json's "sharded Monte-Carlo batches".
+    Gradients flow through shard_map, so the optimizer step stays global.
     """
     import optax
 
@@ -217,7 +226,33 @@ def perform_inference(
     if params_init:
         opt_params.update(params_init)
 
-    loss_fn = inference_method.make_loss(p_comp, guide)
+    base_loss_fn = inference_method.make_loss(p_comp, guide)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        n_dev = mesh.shape[batch_axis]
+        if number_samples % n_dev != 0:
+            raise ValueError(
+                f"number_samples={number_samples} must divide over mesh "
+                f"axis {batch_axis!r} of size {n_dev}"
+            )
+        local_s = number_samples // n_dev
+
+        def loss_fn(p, key, num_samples):
+            keys = jax.random.split(key, n_dev)
+
+            def body(keys_shard):
+                l = base_loss_fn(p, keys_shard[0], local_s)
+                return jax.lax.pmean(l, batch_axis)
+
+            return shard_map(
+                body, mesh=mesh, in_specs=(P(batch_axis),), out_specs=P(),
+                check_vma=False,
+            )(keys)
+
+    else:
+        loss_fn = base_loss_fn
     tx = _resolve_optimizer(optimizer, lr)
     opt_state = tx.init(opt_params)
 

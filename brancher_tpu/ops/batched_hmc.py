@@ -1,0 +1,135 @@
+"""Chain-batched HMC fast path: the chain axis is EXPLICIT in every array
+([C, d] positions/momenta), so the whole sampler is straight-line scanned
+tensor code — no vmap-of-while, no per-chain control flow.  Combined with
+the fused Pallas value+grad kernel (ops/pallas_logreg.py) each leapfrog
+step is two MXU matmuls + VPU elementwise on the full chain block: the
+roofline configuration for many-chain sampling on TPU (BASELINE.json:
+"vectorized log-prob + leapfrog at roofline per chip").
+
+Adaptation: shared dual-averaging step size (mean accept over chains) and
+a shared diagonal mass from cross-chain moment accumulators — the same
+consensus scheme as the general driver, with the reductions now plain
+``mean`` over the chain axis (→ psum over ICI when the chain axis is
+sharded with shard_map).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..inference.adaptation import build_warmup_schedule, da_init, da_restart, da_update
+
+Array = jax.Array
+
+
+class BatchedHMCResult(NamedTuple):
+    samples: Array  # [C, S, d]
+    accept_prob: Array  # [C, S]
+    step_size: Array
+    inv_mass: Array
+
+
+def hmc_batched(
+    value_and_grad_fn: Callable[[Array], Tuple[Array, Array]],
+    z0: Array,
+    num_warmup: int,
+    num_samples: int,
+    key: Array,
+    num_integration_steps: int = 16,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    jitter_steps: bool = True,
+) -> BatchedHMCResult:
+    """value_and_grad_fn: w [C,d] -> (logpost [C], grad [C,d])."""
+    c, d = z0.shape
+    dtype = z0.dtype
+    ln = num_integration_steps
+
+    def leapfrog(z, r, grad, eps, inv_mass, n_steps):
+        def body(i, carry):
+            z, r, val, grad = carry
+            r = r + 0.5 * eps * grad  # NOTE: +grad of LOG posterior
+            z = z + eps * inv_mass[None, :] * r
+            val, grad = value_and_grad_fn(z)
+            r = r + 0.5 * eps * grad
+            return (z, r, val, grad)
+
+        val0 = jnp.zeros((c,), dtype)
+        return jax.lax.fori_loop(0, n_steps, body, (z, r, val0, grad))
+
+    def one_step(z, val, grad, eps, inv_mass, k):
+        k_mom, k_acc, k_len = jax.random.split(k, 3)
+        r0 = jax.random.normal(k_mom, (c, d), dtype) / jnp.sqrt(inv_mass)[None, :]
+        ke0 = 0.5 * jnp.sum(r0 * r0 * inv_mass[None, :], axis=-1)
+        h0 = -val + ke0
+        n_steps = (
+            jax.random.randint(k_len, (), 1, ln + 1) if jitter_steps else ln
+        )
+        z1, r1, val1, grad1 = leapfrog(z, r0, grad, eps, inv_mass, n_steps)
+        ke1 = 0.5 * jnp.sum(r1 * r1 * inv_mass[None, :], axis=-1)
+        h1 = -val1 + ke1
+        delta = h0 - h1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+        accept = jax.random.uniform(k_acc, (c,)) < accept_prob
+        z = jnp.where(accept[:, None], z1, z)
+        val = jnp.where(accept, val1, val)
+        grad = jnp.where(accept[:, None], grad1, grad)
+        return z, val, grad, accept_prob
+
+    val0, grad0 = value_and_grad_fn(z0)
+    in_slow, window_end = build_warmup_schedule(num_warmup)
+    k_warm, k_samp = jax.random.split(key)
+
+    def warmup_body(carry, xs):
+        z, val, grad, da, s1, s2, n_acc, inv_mass = carry
+        k, slow, w_end = xs
+        eps = jnp.exp(da.log_step)
+        z, val, grad, ap = one_step(z, val, grad, eps, inv_mass, k)
+        da = da_update(da, jnp.mean(ap), target_accept=target_accept)
+        # cross-chain moment accumulation for the shared diagonal mass
+        s1 = jnp.where(slow, s1 + jnp.sum(z, axis=0), s1)
+        s2 = jnp.where(slow, s2 + jnp.sum(z * z, axis=0), s2)
+        n_acc = jnp.where(slow, n_acc + c, n_acc)
+        mean = s1 / jnp.maximum(n_acc, 1.0)
+        var = s2 / jnp.maximum(n_acc, 1.0) - mean * mean
+        var = (n_acc / (n_acc + 5.0)) * var + 1e-3 * (5.0 / (n_acc + 5.0))
+        inv_mass = jnp.where(w_end, var, inv_mass)
+        s1 = jnp.where(w_end, jnp.zeros_like(s1), s1)
+        s2 = jnp.where(w_end, jnp.zeros_like(s2), s2)
+        n_acc = jnp.where(w_end, jnp.zeros_like(n_acc), n_acc)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(w_end, a, b), da_restart(da), da
+        )
+        return (z, val, grad, da, s1, s2, n_acc, inv_mass), ap
+
+    da = da_init(jnp.asarray(init_step_size, dtype))
+    inv_mass = jnp.ones((d,), dtype)
+    carry = (z0, val0, grad0, da, jnp.zeros((d,), dtype), jnp.zeros((d,), dtype),
+             jnp.zeros((), dtype), inv_mass)
+    if num_warmup > 0:
+        keys = jax.random.split(k_warm, num_warmup)
+        carry, _ = jax.lax.scan(
+            warmup_body, carry,
+            (keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
+        )
+    z, val, grad, da, _, _, _, inv_mass = carry
+    eps_final = jnp.exp(da.log_step_avg) if num_warmup > 0 else jnp.asarray(init_step_size, dtype)
+
+    def sample_body(carry, k):
+        z, val, grad = carry
+        z, val, grad, ap = one_step(z, val, grad, eps_final, inv_mass, k)
+        return (z, val, grad), (z, ap)
+
+    keys = jax.random.split(k_samp, num_samples)
+    (_, _, _), (zs, aps) = jax.lax.scan(sample_body, (z, val, grad), keys)
+    # zs: [S, C, d] -> [C, S, d]
+    return BatchedHMCResult(
+        samples=jnp.swapaxes(zs, 0, 1),
+        accept_prob=jnp.swapaxes(aps, 0, 1),
+        step_size=eps_final,
+        inv_mass=inv_mass,
+    )

@@ -1,0 +1,23 @@
+"""Driver contract: entry() compiles; dryrun_multichip runs on a virtual
+mesh (SURVEY.md §4.4)."""
+import sys
+
+import jax
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    loss, grads = jax.jit(fn)(*args)
+    assert float(loss) > 0
+    assert grads["q"] is not None
+
+
+def test_dryrun_multichip_4():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)

@@ -1,0 +1,74 @@
+"""Aux subsystems: visualization, checkpoint/resume, metrics
+(SURVEY.md §5)."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu import NormalVariable, ProbabilisticModel
+
+
+def test_plot_functions(key):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from brancher_tpu.visualizations import (
+        ensemble_histogram,
+        plot_density,
+        plot_posterior,
+    )
+
+    mu = NormalVariable(0.0, 1.0, "mu")
+    x = NormalVariable(mu, 1.0, "x")
+    model = ProbabilisticModel([x])
+    df = model.get_sample(200, key=key)
+    assert plot_posterior(df) is not None
+    assert plot_density(df, variables=["mu"]) is not None
+    assert ensemble_histogram([df, df], "mu", labels=["a", "b"]) is not None
+
+
+def test_checkpoint_roundtrip(key):
+    from brancher_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
+    state = {
+        "params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        save_checkpoint(path, state)
+        restored = restore_checkpoint(path, template=state)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    assert int(restored["step"]) == 7
+
+
+def test_metrics_logger(tmp_path):
+    from brancher_tpu.metrics import MetricsLogger
+
+    p = str(tmp_path / "metrics.jsonl")
+    ml = MetricsLogger(p)
+    ml.log(0, loss=1.5, accept=0.8)
+    ml.log(1, loss=1.2)
+    ml.close()
+    lines = open(p).read().strip().splitlines()
+    assert len(lines) == 2
+    import json
+
+    rec = json.loads(lines[0])
+    assert rec["loss"] == 1.5 and rec["step"] == 0
+
+
+def test_mcmc_summary(key):
+    from brancher_tpu.inference import sample, HMC
+    from brancher_tpu.metrics import summarize_mcmc
+    from brancher_tpu.models.conjugate import conjugate_normal_model
+
+    model, _ = conjugate_normal_model(num_obs=5)
+    res = sample(model, kernel=HMC(num_integration_steps=5), num_samples=50,
+                 num_warmup=50, num_chains=2, key=key)
+    summary = summarize_mcmc(res)
+    assert "mu" in summary and "ess" in summary["mu"]

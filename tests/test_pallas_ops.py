@@ -1,0 +1,69 @@
+"""Pallas kernel parity (interpret mode on CPU) + batched HMC fast path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brancher_tpu.models.logistic_regression import make_logreg_data
+from brancher_tpu.ops.pallas_logreg import (
+    logreg_value_and_grad_pallas,
+    logreg_value_and_grad_reference,
+    make_logreg_log_posterior,
+)
+from brancher_tpu.ops.batched_hmc import hmc_batched
+
+
+def test_pallas_kernel_matches_reference(key):
+    x, y, _ = make_logreg_data(num_points=100, dim=8, seed=0)
+    w = jax.random.normal(key, (16, 8))
+    v_ref, g_ref = logreg_value_and_grad_reference(
+        w, jnp.asarray(x), jnp.asarray(y, jnp.float32), 1.0
+    )
+    v_pl, g_pl = logreg_value_and_grad_pallas(
+        w, jnp.asarray(x), jnp.asarray(y, jnp.float32), 1.0, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(v_pl), np.asarray(v_ref), rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), rtol=2e-4, atol=1e-3)
+
+
+def test_custom_vjp_grad(key):
+    x, y, _ = make_logreg_data(num_points=60, dim=4, seed=1)
+    log_post = make_logreg_log_posterior(x, y, use_pallas=False)
+    w = jax.random.normal(key, (3, 4))
+    g = jax.grad(lambda ww: jnp.sum(log_post(ww)))(w)
+    _, g_ref = logreg_value_and_grad_reference(
+        w, jnp.asarray(x), jnp.asarray(y, jnp.float32), 1.0
+    )
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_batched_hmc_matches_nuts_posterior(key):
+    """Batched HMC on logreg must agree with the general NUTS engine."""
+    from brancher_tpu.models.logistic_regression import logistic_regression_model
+    from brancher_tpu.inference import sample, NUTS
+
+    x, y, _ = make_logreg_data(num_points=200, dim=4, seed=2)
+    log_post = make_logreg_log_posterior(x, y, use_pallas=False)
+
+    def vg(w):
+        return jax.value_and_grad(lambda ww: jnp.sum(log_post(ww)))(w)[0], jax.grad(
+            lambda ww: jnp.sum(log_post(ww))
+        )(w)
+
+    # use the fused reference directly
+    from brancher_tpu.ops.pallas_logreg import logreg_value_and_grad_reference as f
+
+    fused = lambda w: f(w, jnp.asarray(x), jnp.asarray(y, jnp.float32), 1.0)
+    z0 = 0.1 * jax.random.normal(key, (32, 4))
+    res = jax.jit(
+        lambda k: hmc_batched(fused, z0, num_warmup=300, num_samples=300, key=k,
+                              num_integration_steps=16)
+    )(key)
+    w_hmc = np.asarray(jnp.mean(res.samples, axis=(0, 1)))
+
+    model = logistic_regression_model(x, y)
+    nres = sample(model, kernel=NUTS(max_depth=8), num_samples=400, num_warmup=400,
+                  num_chains=2, key=jax.random.PRNGKey(9))
+    w_nuts = np.asarray(jnp.mean(nres.samples["w"], axis=(0, 1)))
+    np.testing.assert_allclose(w_hmc, w_nuts, atol=0.1)
+    assert float(jnp.mean(res.accept_prob)) > 0.6

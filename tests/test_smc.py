@@ -1,0 +1,71 @@
+"""SMC vs exact Kalman filter (SURVEY.md §4.2: "the gold standard for
+SMC"); sharded-particle path on the fake 8-device mesh (§4.4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu.models.state_space import (
+    LGSSMParams,
+    kalman_filter,
+    lgssm_model,
+    lgssm_state_space,
+    make_lgssm_data,
+)
+from brancher_tpu.inference.smc import smc_sample, systematic_resample_indices
+
+
+def test_systematic_resampling_unbiased(key):
+    lw = jnp.log(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_resample_indices(jax.random.fold_in(key, i), lw)
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.02)
+
+
+def test_particle_filter_matches_kalman(key):
+    params = LGSSMParams()
+    _, ys = make_lgssm_data(length=60, params=params, seed=1)
+    ll_exact, means_exact, _ = kalman_filter(ys, params)
+    res = smc_sample(lgssm_state_space(params), jnp.asarray(ys),
+                     num_particles=4096, key=key)
+    assert abs(float(res.log_marginal) - ll_exact) < 0.5, (
+        float(res.log_marginal), ll_exact)
+    err = np.max(np.abs(np.asarray(res.filter_means) - means_exact))
+    assert err < 0.08, err
+    assert float(jnp.min(res.ess_history)) > 100
+
+
+def test_sharded_particle_filter_matches_kalman(key):
+    from brancher_tpu.parallel import particle_mesh
+
+    params = LGSSMParams()
+    _, ys = make_lgssm_data(length=40, params=params, seed=2)
+    ll_exact, means_exact, _ = kalman_filter(ys, params)
+    res = smc_sample(
+        lgssm_state_space(params), jnp.asarray(ys), num_particles=2048,
+        key=key, mesh=particle_mesh(),
+    )
+    assert abs(float(res.log_marginal) - ll_exact) < 0.7
+    err = np.max(np.abs(np.asarray(res.filter_means) - means_exact))
+    assert err < 0.1, err
+
+
+def test_lgssm_dsl_model_log_prob(key):
+    """The DSL view of the LGSSM must agree with a direct computation."""
+    params = LGSSMParams()
+    xs, ys = make_lgssm_data(length=20, params=params, seed=3)
+    model = lgssm_model(ys, params)
+    comp = model.compiled()
+    lp = float(comp.log_prob_one(comp.initial_params, {"x": jnp.asarray(xs)}))
+
+    def nlp(v, m, var):
+        return -0.5 * (v - m) ** 2 / var - 0.5 * np.log(2 * np.pi * var)
+
+    expect = nlp(xs[0], 0, params.init_var)
+    for t in range(1, len(xs)):
+        expect += nlp(xs[t], params.a * xs[t - 1], params.q)
+    for t in range(len(ys)):
+        expect += nlp(ys[t], params.c * xs[t], params.r)
+    np.testing.assert_allclose(lp, expect, rtol=1e-4)
