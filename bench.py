@@ -35,10 +35,23 @@ def main():
     )
     from brancher_tpu.inference import sample, NUTS
 
+    from brancher_tpu.ops.pallas_logreg import (
+        logreg_value_and_grad_pallas,
+        logreg_value_and_grad_reference,
+    )
+
     n_points, dim = 1000, 32
-    chains, warmup, draws = 512, 300, 300
+    chains, warmup, draws = 1024, 500, 1000
     x, y, _ = make_logreg_data(num_points=n_points, dim=dim, seed=0)
     model = logistic_regression_model(x, y)
+
+    # fused Pallas potential (vectorized chain-batched NUTS consumes the
+    # whole [C, d] block -> two MXU matmuls per leapfrog step)
+    xj, yj = jnp.asarray(x), jnp.asarray(np.asarray(y, np.float32))
+    if jax.default_backend() == "tpu":
+        fused = lambda w: logreg_value_and_grad_pallas(w, xj, yj, 1.0)
+    else:
+        fused = lambda w: logreg_value_and_grad_reference(w, xj, yj, 1.0)
 
     kwargs = dict(
         kernel=NUTS(max_depth=8),
@@ -46,6 +59,8 @@ def main():
         num_warmup=warmup,
         num_chains=chains,
         key=jax.random.PRNGKey(0),
+        chain_method="vectorized",
+        value_and_grad_fn=fused,
     )
 
     log(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})")

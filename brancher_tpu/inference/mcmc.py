@@ -168,6 +168,96 @@ def _run_single_chain(
     return zs, stats, info
 
 
+def _run_vectorized(
+    kernel,
+    potential_fn,
+    value_and_grad_fn,
+    z0,
+    num_warmup,
+    num_samples,
+    key,
+    target_accept,
+    init_step_size,
+    mesh,
+    chain_axis,
+):
+    """Dispatch to the chain-batched engines (vectorized NUTS / HMC)."""
+    from .nuts import NUTS
+    from .hmc import HMC
+    from .vectorized_nuts import nuts_batched
+    from ..ops.batched_hmc import hmc_batched
+
+    if value_and_grad_fn is None:
+        per_chain = jax.value_and_grad(lambda zf: -potential_fn(zf))
+        value_and_grad_fn = jax.vmap(per_chain)
+
+    init_eps = min(init_step_size, 0.5)
+
+    def run(z0_shard, key_shard, axis_name):
+        if isinstance(kernel, HMC):
+            res = hmc_batched(
+                value_and_grad_fn, z0_shard, num_warmup, num_samples, key_shard,
+                num_integration_steps=kernel.num_integration_steps,
+                target_accept=target_accept, init_step_size=init_eps,
+                jitter_steps=kernel.jitter_steps, axis_name=axis_name,
+            )
+            c = z0_shard.shape[0]
+            stats = {
+                "accept_prob": res.accept_prob,
+                "diverging": jnp.zeros_like(res.accept_prob, dtype=bool),
+                "num_steps": jnp.full(
+                    res.accept_prob.shape,
+                    (kernel.num_integration_steps + 1) // 2
+                    if kernel.jitter_steps else kernel.num_integration_steps,
+                    jnp.int32,
+                ),
+            }
+            info = {"step_size": res.step_size, "inv_mass": res.inv_mass}
+            return res.samples, stats, info
+        res = nuts_batched(
+            value_and_grad_fn, z0_shard, num_warmup, num_samples, key_shard,
+            max_depth=getattr(kernel, "max_depth", 10),
+            target_accept=target_accept, init_step_size=init_eps,
+            max_delta_energy=getattr(kernel, "max_delta_energy", 1000.0),
+            axis_name=axis_name,
+        )
+        stats = {
+            "accept_prob": res.accept_prob,
+            "diverging": res.diverging,
+            "num_steps": jnp.broadcast_to(
+                res.num_leapfrog[None, :], res.accept_prob.shape
+            ),
+        }
+        info = {"step_size": res.step_size, "inv_mass": res.inv_mass}
+        return res.samples, stats, info
+
+    if mesh is None:
+        return jax.jit(lambda z, k: run(z, k, None))(z0, key)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[chain_axis]
+    if z0.shape[0] % n_dev != 0:
+        raise ValueError(
+            f"num_chains={z0.shape[0]} must divide over mesh axis "
+            f"{chain_axis!r} of size {n_dev}"
+        )
+
+    def body(z0_shard, key_rep):
+        my = jax.lax.axis_index(chain_axis)
+        return run(z0_shard, jax.random.fold_in(key_rep, my), chain_axis)
+
+    return jax.jit(
+        shard_map(
+            body, mesh=mesh,
+            in_specs=(P(chain_axis), P()),
+            out_specs=(P(chain_axis), P(chain_axis), P()),
+            check_vma=False,
+        )
+    )(z0, key)
+
+
 def sample(
     model,
     kernel=None,
@@ -182,18 +272,27 @@ def sample(
     adapt_step_size: bool = True,
     adapt_mass: bool = True,
     init_step_size: float = 1.0,
-    chain_method: str = "vmap",
+    chain_method: str = "vectorized",
     mesh=None,
     chain_axis: str = "chain",
     collect_deterministic: bool = True,
+    value_and_grad_fn=None,
 ) -> MCMCResult:
     """Run MCMC on a ProbabilisticModel (or a raw potential callable).
 
     chain_method:
-      * "vmap"      — all chains on the local device(s) via vmap.
-      * "shard_map" — chains sharded over `mesh`'s `chain_axis`; inside
-        each shard, local chains are vmapped; adaptation consensus runs
-        over BOTH axes (ICI psum + on-chip mean).
+      * "vectorized" (default) — the chain axis is explicit in every
+        array; the sampler is one batched tensor program (see
+        vectorized_nuts.py / ops/batched_hmc.py).  Orders of magnitude
+        faster on TPU for small/medium models.  With `mesh`, chains
+        shard over `chain_axis` via shard_map with psum consensus.
+      * "vmap"      — per-chain sampler vmapped (the general path; keeps
+        per-chain dynamic trajectory lengths fully independent).
+      * "shard_map" — "vmap" sharded over `mesh`'s `chain_axis`.
+
+    value_and_grad_fn: optional batched fused (log-posterior, grad)
+    evaluator [C,d] -> ([C],[C,d]) (e.g. the Pallas logreg kernel); used
+    only by the vectorized path; defaults to vmap(value_and_grad).
     """
     from .nuts import NUTS
 
@@ -238,7 +337,15 @@ def sample(
             adapt_step_size, adapt_mass, init_step_size,
         )
 
-    if chain_method == "vmap" or mesh is None:
+    if chain_method not in ("vectorized", "vmap", "shard_map"):
+        raise ValueError(f"unknown chain_method {chain_method!r}")
+    if chain_method == "vectorized":
+        zs, stats, info = _run_vectorized(
+            kernel, potential_fn, value_and_grad_fn, z0, num_warmup,
+            num_samples, k_run, target_accept, init_step_size, mesh,
+            chain_axis,
+        )
+    elif chain_method == "vmap" or mesh is None:
         runner = jax.jit(
             jax.vmap(lambda k, z: run_one(k, z, (chain_axis,)), axis_name=chain_axis)
         )

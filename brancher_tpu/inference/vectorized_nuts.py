@@ -1,0 +1,357 @@
+"""Vectorized (chain-batched) NUTS: all chains advance in lockstep.
+
+The general engine in ``nuts.py`` vmaps a per-chain sampler whose nested
+while-loops serialize poorly on TPU (each chain's tiny leapfrog is a
+separate masked lane; per-iteration latency dominates).  This module is
+the TPU-first reformulation (cf. the public "vectorized / autobatched
+NUTS" designs of tfp.mcmc and numpyro, PAPERS.md): the chain axis is
+EXPLICIT — every leapfrog step is one batched ``value_and_grad_fn`` call
+over [C, d] (MXU matmuls for models like logistic regression, optionally
+the fused Pallas kernel), and the recursive tree becomes ONE while loop
+over a flat leaf index.
+
+Key observation making this exact (not an approximation): the tree
+DOUBLING SCHEDULE is deterministic and shared by every chain — leaf n
+belongs to doubling floor(log2 n) at in-subtree position m = n - 2^d.
+Only the per-chain direction, proposal swaps and stopping differ, and
+those are cheap [C]-vector masks.  The checkpoint-stack U-turn trick
+indexes by popcount(m) — a per-iteration SCALAR — so bookkeeping adds no
+per-chain control flow at all.  Chains that stop (U-turn / divergence /
+discarded subtree) go inactive and idle until the loop drains.
+
+Adaptation matches ops/batched_hmc.py: shared dual-averaged step size
+(mean accept over chains — pmean/psum over ICI when the chain axis is
+sharded) and a shared diagonal mass from cross-chain moments.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .adaptation import build_warmup_schedule, da_init, da_restart, da_update
+
+Array = jax.Array
+
+
+def _gmean(x, axis_name):
+    """Mean over chains, then over the sharded chain axis (psum/ICI)."""
+    m = jnp.mean(x)
+    return jax.lax.pmean(m, axis_name) if axis_name else m
+
+
+def _gsum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+class VectorizedNUTSResult(NamedTuple):
+    samples: Array  # [C, S, d]
+    accept_prob: Array  # [C, S]
+    diverging: Array  # [C, S]
+    num_leapfrog: Array  # [S] (shared per draw: loop iterations executed)
+    step_size: Array
+    inv_mass: Array
+
+
+def _ke(r: Array, inv_mass: Array) -> Array:
+    return 0.5 * jnp.sum(r * r * inv_mass[None, :], axis=-1)
+
+
+def _turning(rho: Array, r_a: Array, r_b: Array, inv_mass: Array) -> Array:
+    va = r_a * inv_mass[None, :]
+    vb = r_b * inv_mass[None, :]
+    return jnp.logical_or(
+        jnp.sum(rho * va, -1) <= 0.0, jnp.sum(rho * vb, -1) <= 0.0
+    )
+
+
+class _S(NamedTuple):
+    n: Array
+    # global tree (per chain)
+    left_z: Array; left_r: Array; left_grad: Array
+    right_z: Array; right_r: Array; right_grad: Array
+    prop_z: Array; prop_val: Array; prop_grad: Array
+    lw: Array; r_sum: Array
+    # moving end
+    m_z: Array; m_r: Array; m_grad: Array
+    # subtree
+    s_lw: Array; s_cum: Array
+    sp_z: Array; sp_val: Array; sp_grad: Array
+    s_failed: Array
+    z_ck: Array; r_ck: Array; rs_ck: Array
+    # flags / stats
+    dirn: Array
+    active: Array
+    diverging: Array
+    sum_acc: Array; cnt: Array
+
+
+def nuts_transition_batched(
+    value_and_grad_fn: Callable[[Array], Tuple[Array, Array]],
+    z: Array,
+    val: Array,
+    grad: Array,
+    eps: Array,
+    inv_mass: Array,
+    key: Array,
+    max_depth: int = 10,
+    max_delta_energy: float = 1000.0,
+):
+    """One NUTS draw for all chains.  value/grad are of the LOG posterior."""
+    c, d = z.shape
+    dtype = z.dtype
+    kdim = max_depth + 1
+    k_mom, k_loop = jax.random.split(key)
+
+    r0 = jax.random.normal(k_mom, (c, d), dtype) / jnp.sqrt(inv_mass)[None, :]
+    h0 = -val + _ke(r0, inv_mass)
+
+    zeros_cd = jnp.zeros((c, d), dtype)
+    s0 = _S(
+        n=jnp.ones((), jnp.int32),
+        left_z=z, left_r=r0, left_grad=grad,
+        right_z=z, right_r=r0, right_grad=grad,
+        prop_z=z, prop_val=val, prop_grad=grad,
+        lw=jnp.zeros((c,), dtype), r_sum=r0,
+        m_z=z, m_r=r0, m_grad=grad,
+        s_lw=jnp.full((c,), -jnp.inf, dtype), s_cum=zeros_cd,
+        sp_z=z, sp_val=val, sp_grad=grad,
+        s_failed=jnp.zeros((c,), bool),
+        z_ck=jnp.zeros((c, kdim, d), dtype),
+        r_ck=jnp.zeros((c, kdim, d), dtype),
+        rs_ck=jnp.zeros((c, kdim, d), dtype),
+        dirn=jnp.ones((c,), dtype),
+        active=jnp.ones((c,), bool),
+        diverging=jnp.zeros((c,), bool),
+        sum_acc=jnp.zeros((c,), dtype), cnt=jnp.zeros((c,), dtype),
+    )
+
+    max_n = jnp.asarray(2**max_depth, jnp.int32)
+
+    def cond(s: _S):
+        return jnp.logical_and(s.n < max_n, jnp.any(s.active))
+
+    def body(s: _S):
+        n = s.n
+        # static-schedule metadata (per-iteration scalars)
+        depth = 31 - jax.lax.clz(n)
+        m = n - (jnp.asarray(1, jnp.int32) << depth)
+        is_start = m == 0
+        sub_size = jnp.asarray(1, jnp.int32) << depth
+        is_end = m == sub_size - 1
+        pc = jax.lax.population_count(m)
+        t_ones = jax.lax.population_count((m ^ (m + 1)) >> 1)
+
+        kn = jax.random.fold_in(k_loop, n)
+        k_dir, k_swap, k_take = jax.random.split(kn, 3)
+
+        # --- subtree start: per-chain direction + moving end + reset ------
+        new_dir = jnp.where(
+            jax.random.bernoulli(k_dir, 0.5, (c,)), 1.0, -1.0
+        ).astype(dtype)
+        dirn = jnp.where(is_start, new_dir, s.dirn)
+        take_right = dirn > 0
+
+        def sel_end(r_val, l_val):
+            return jnp.where(take_right[:, None], r_val, l_val)
+
+        m_z = jnp.where(is_start, sel_end(s.right_z, s.left_z), s.m_z)
+        m_r = jnp.where(is_start, sel_end(s.right_r, s.left_r), s.m_r)
+        m_grad = jnp.where(is_start, sel_end(s.right_grad, s.left_grad), s.m_grad)
+        s_lw = jnp.where(is_start, jnp.full((c,), -jnp.inf, dtype), s.s_lw)
+        s_cum = jnp.where(is_start, jnp.zeros_like(s.s_cum), s.s_cum)
+        s_failed = jnp.where(is_start, jnp.zeros((c,), bool), s.s_failed)
+
+        # --- one batched leapfrog from the moving end ---------------------
+        eps_c = (eps * dirn)[:, None]
+        r_half = m_r + 0.5 * eps_c * m_grad
+        z_new = m_z + eps_c * inv_mass[None, :] * r_half
+        val_new, grad_new = value_and_grad_fn(z_new)
+        r_new = r_half + 0.5 * eps_c * grad_new
+
+        h = -val_new + _ke(r_new, inv_mass)
+        h = jnp.where(jnp.isnan(h), jnp.inf, h)
+        lw_leaf = h0 - h
+        dvg = (h - h0) > max_delta_energy
+        live = jnp.logical_and(s.active, jnp.logical_not(s_failed))
+
+        acc = jnp.exp(jnp.minimum(lw_leaf, 0.0))
+        sum_acc = s.sum_acc + jnp.where(live, acc, 0.0)
+        cnt = s.cnt + jnp.where(live, 1.0, 0.0)
+
+        # --- checkpoints (store BEFORE adding this leaf's momentum) -------
+        even = (m % 2) == 0
+
+        def store(ck, new_val):
+            updated = jax.lax.dynamic_update_slice_in_dim(
+                ck, new_val[:, None, :], pc, axis=1
+            )
+            return jnp.where(even, updated, ck)
+
+        z_ck = store(s.z_ck, z_new)
+        r_ck = store(s.r_ck, r_new)
+        rs_ck = store(s.rs_ck, s_cum)
+
+        # --- progressive multinomial within the subtree -------------------
+        s_cum_new = s_cum + r_new
+        s_lw_new = jnp.logaddexp(s_lw, lw_leaf)
+        swap = jax.random.uniform(k_swap, (c,)) < jnp.exp(lw_leaf - s_lw_new)
+        sp_z = jnp.where((live & swap)[:, None], z_new, s.sp_z)
+        sp_val = jnp.where(live & swap, val_new, s.sp_val)
+        sp_grad = jnp.where((live & swap)[:, None], grad_new, s.sp_grad)
+
+        # --- U-turn checks vs checkpoint stack (odd leaves) ---------------
+        turn_sub = jnp.zeros((c,), bool)
+        for k_slot in range(kdim):
+            in_range = jnp.logical_and(k_slot >= pc - t_ones, k_slot < pc)
+            rho = s_cum_new - rs_ck[:, k_slot]
+            tk = _turning(rho, r_ck[:, k_slot], r_new, inv_mass)
+            turn_sub = jnp.logical_or(turn_sub, jnp.logical_and(in_range, tk))
+        turn_sub = jnp.logical_and(turn_sub, jnp.logical_not(even))
+
+        new_fail = live & (dvg | turn_sub)
+        s_failed = jnp.logical_or(s_failed, new_fail)
+        diverging = jnp.logical_or(s.diverging, live & dvg)
+
+        upd = live & jnp.logical_not(new_fail)
+        s_lw = jnp.where(upd, s_lw_new, s_lw)
+        s_cum = jnp.where(upd[:, None], s_cum_new, s_cum)
+        m_z = jnp.where(upd[:, None], z_new, m_z)
+        m_r = jnp.where(upd[:, None], r_new, m_r)
+        m_grad = jnp.where(upd[:, None], grad_new, m_grad)
+
+        # --- subtree end: merge into the global tree ----------------------
+        merging = jnp.logical_and(is_end, upd)
+        p_take = jnp.exp(jnp.minimum(s_lw - s.lw, 0.0))
+        take = jnp.logical_and(merging, jax.random.uniform(k_take, (c,)) < p_take)
+        prop_z = jnp.where(take[:, None], sp_z, s.prop_z)
+        prop_val = jnp.where(take, sp_val, s.prop_val)
+        prop_grad = jnp.where(take[:, None], sp_grad, s.prop_grad)
+
+        right_sel = jnp.logical_and(merging, take_right)
+        left_sel = jnp.logical_and(merging, jnp.logical_not(take_right))
+        right_z = jnp.where(right_sel[:, None], m_z, s.right_z)
+        right_r = jnp.where(right_sel[:, None], m_r, s.right_r)
+        right_grad = jnp.where(right_sel[:, None], m_grad, s.right_grad)
+        left_z = jnp.where(left_sel[:, None], m_z, s.left_z)
+        left_r = jnp.where(left_sel[:, None], m_r, s.left_r)
+        left_grad = jnp.where(left_sel[:, None], m_grad, s.left_grad)
+
+        r_sum_new = s.r_sum + s_cum
+        lw_new = jnp.logaddexp(s.lw, s_lw)
+        r_sum = jnp.where(merging[:, None], r_sum_new, s.r_sum)
+        lw = jnp.where(merging, lw_new, s.lw)
+
+        full_turn = _turning(r_sum, left_r, right_r, inv_mass)
+
+        # deactivate: failed subtree (discarded) or full-tree U-turn
+        active = s.active
+        active = jnp.logical_and(active, jnp.logical_not(is_end & s_failed))
+        active = jnp.logical_and(active, jnp.logical_not(new_fail))
+        active = jnp.logical_and(active, jnp.logical_not(merging & full_turn))
+
+        return _S(
+            n=n + 1,
+            left_z=left_z, left_r=left_r, left_grad=left_grad,
+            right_z=right_z, right_r=right_r, right_grad=right_grad,
+            prop_z=prop_z, prop_val=prop_val, prop_grad=prop_grad,
+            lw=lw, r_sum=r_sum,
+            m_z=m_z, m_r=m_r, m_grad=m_grad,
+            s_lw=s_lw, s_cum=s_cum,
+            sp_z=sp_z, sp_val=sp_val, sp_grad=sp_grad,
+            s_failed=s_failed,
+            z_ck=z_ck, r_ck=r_ck, rs_ck=rs_ck,
+            dirn=dirn, active=active, diverging=diverging,
+            sum_acc=sum_acc, cnt=cnt,
+        )
+
+    s = jax.lax.while_loop(cond, body, s0)
+
+    accept_prob = s.sum_acc / jnp.maximum(s.cnt, 1.0)
+    return (
+        s.prop_z, s.prop_val, s.prop_grad,
+        accept_prob, s.diverging, s.n - 1,
+    )
+
+
+def nuts_batched(
+    value_and_grad_fn: Callable[[Array], Tuple[Array, Array]],
+    z0: Array,
+    num_warmup: int,
+    num_samples: int,
+    key: Array,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    max_delta_energy: float = 1000.0,
+    axis_name=None,
+) -> VectorizedNUTSResult:
+    """Full vectorized-NUTS run with shared warmup adaptation."""
+    c, d = z0.shape
+    dtype = z0.dtype
+    val0, grad0 = value_and_grad_fn(z0)
+    in_slow, window_end = build_warmup_schedule(num_warmup)
+    k_warm, k_samp = jax.random.split(key)
+
+    def transition(z, val, grad, eps, inv_mass, k):
+        return nuts_transition_batched(
+            value_and_grad_fn, z, val, grad, eps, inv_mass, k,
+            max_depth=max_depth, max_delta_energy=max_delta_energy,
+        )
+
+    def warmup_body(carry, xs):
+        z, val, grad, da, s1, s2, n_acc, inv_mass = carry
+        k, slow, w_end = xs
+        eps = jnp.exp(da.log_step)
+        z, val, grad, ap, dvg, _ = transition(z, val, grad, eps, inv_mass, k)
+        da = da_update(da, _gmean(ap, axis_name), target_accept=target_accept)
+        s1 = jnp.where(slow, s1 + jnp.sum(z, axis=0), s1)
+        s2 = jnp.where(slow, s2 + jnp.sum(z * z, axis=0), s2)
+        n_acc = jnp.where(slow, n_acc + c, n_acc)
+        s1g, s2g, ng = _gsum(s1, axis_name), _gsum(s2, axis_name), _gsum(n_acc, axis_name)
+        mean = s1g / jnp.maximum(ng, 1.0)
+        var = s2g / jnp.maximum(ng, 1.0) - mean * mean
+        n_acc_reg = ng
+        var = (n_acc_reg / (n_acc_reg + 5.0)) * var + 1e-3 * (5.0 / (n_acc_reg + 5.0))
+        inv_mass = jnp.where(w_end, var, inv_mass)
+        s1 = jnp.where(w_end, jnp.zeros_like(s1), s1)
+        s2 = jnp.where(w_end, jnp.zeros_like(s2), s2)
+        n_acc = jnp.where(w_end, jnp.zeros_like(n_acc), n_acc)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(w_end, a, b), da_restart(da), da
+        )
+        return (z, val, grad, da, s1, s2, n_acc, inv_mass), None
+
+    da = da_init(jnp.asarray(init_step_size, dtype))
+    inv_mass = jnp.ones((d,), dtype)
+    carry = (z0, val0, grad0, da, jnp.zeros((d,), dtype), jnp.zeros((d,), dtype),
+             jnp.zeros((), dtype), inv_mass)
+    if num_warmup > 0:
+        keys = jax.random.split(k_warm, num_warmup)
+        carry, _ = jax.lax.scan(
+            warmup_body, carry,
+            (keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
+        )
+    z, val, grad, da, _, _, _, inv_mass = carry
+    eps_final = (
+        jnp.exp(da.log_step_avg) if num_warmup > 0
+        else jnp.asarray(init_step_size, dtype)
+    )
+
+    def sample_body(carry, k):
+        z, val, grad = carry
+        z, val, grad, ap, dvg, n_leaps = transition(z, val, grad, eps_final, inv_mass, k)
+        return (z, val, grad), (z, ap, dvg, n_leaps)
+
+    keys = jax.random.split(k_samp, num_samples)
+    _, (zs, aps, dvgs, n_leaps) = jax.lax.scan(sample_body, (z, val, grad), keys)
+    return VectorizedNUTSResult(
+        samples=jnp.swapaxes(zs, 0, 1),
+        accept_prob=jnp.swapaxes(aps, 0, 1),
+        diverging=jnp.swapaxes(dvgs, 0, 1),
+        num_leapfrog=n_leaps,
+        step_size=eps_final,
+        inv_mass=inv_mass,
+    )

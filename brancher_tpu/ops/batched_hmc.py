@@ -42,6 +42,7 @@ def hmc_batched(
     target_accept: float = 0.8,
     init_step_size: float = 0.1,
     jitter_steps: bool = True,
+    axis_name=None,
 ) -> BatchedHMCResult:
     """value_and_grad_fn: w [C,d] -> (logpost [C], grad [C,d])."""
     c, d = z0.shape
@@ -89,14 +90,20 @@ def hmc_batched(
         k, slow, w_end = xs
         eps = jnp.exp(da.log_step)
         z, val, grad, ap = one_step(z, val, grad, eps, inv_mass, k)
-        da = da_update(da, jnp.mean(ap), target_accept=target_accept)
+        ap_mean = jnp.mean(ap)
+        if axis_name:
+            ap_mean = jax.lax.pmean(ap_mean, axis_name)
+        da = da_update(da, ap_mean, target_accept=target_accept)
         # cross-chain moment accumulation for the shared diagonal mass
         s1 = jnp.where(slow, s1 + jnp.sum(z, axis=0), s1)
         s2 = jnp.where(slow, s2 + jnp.sum(z * z, axis=0), s2)
         n_acc = jnp.where(slow, n_acc + c, n_acc)
-        mean = s1 / jnp.maximum(n_acc, 1.0)
-        var = s2 / jnp.maximum(n_acc, 1.0) - mean * mean
-        var = (n_acc / (n_acc + 5.0)) * var + 1e-3 * (5.0 / (n_acc + 5.0))
+        s1g = jax.lax.psum(s1, axis_name) if axis_name else s1
+        s2g = jax.lax.psum(s2, axis_name) if axis_name else s2
+        ng = jax.lax.psum(n_acc, axis_name) if axis_name else n_acc
+        mean = s1g / jnp.maximum(ng, 1.0)
+        var = s2g / jnp.maximum(ng, 1.0) - mean * mean
+        var = (ng / (ng + 5.0)) * var + 1e-3 * (5.0 / (ng + 5.0))
         inv_mass = jnp.where(w_end, var, inv_mass)
         s1 = jnp.where(w_end, jnp.zeros_like(s1), s1)
         s2 = jnp.where(w_end, jnp.zeros_like(s2), s2)
