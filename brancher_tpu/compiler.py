@@ -311,6 +311,46 @@ class CompiledModel:
         _, logp = self._walk_z(self._as_store(params), z, given or {})
         return logp
 
+    def log_density_z_parts(
+        self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None
+    ) -> Tuple[Array, Array]:
+        """(log prior incl. Jacobian, log likelihood) in unconstrained space.
+
+        The split powers tempered SMC: target_beta = prior * lik^beta.
+        """
+        store = self._as_store(params)
+        given = given or {}
+        values: Dict[str, Array] = {}
+        lp_prior = jnp.zeros(())
+        lp_lik = jnp.zeros(())
+        for v in self.order:
+            if isinstance(v, DeterministicVariable):
+                values[v.name] = v.compute(values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(values, store))
+            if v.name in given:
+                values[v.name] = given[v.name]
+                lp_prior = lp_prior + self._rv_log_prob(v, given[v.name], p)
+                continue
+            if v.is_observed:
+                value = self._observed_value(v, values, store)
+                values[v.name] = value
+                lp_lik = lp_lik + self._rv_log_prob(v, value, p)
+                continue
+            if v.distribution.is_discrete:
+                raise ValueError(
+                    f"discrete latent {v.name!r} must be provided via `given`"
+                )
+            from .transforms import transform_for
+
+            tr = transform_for(v.distribution, p)
+            x = tr.forward(z[v.name])
+            ld = sum_all(tr.forward_log_det(z[v.name]))
+            values[v.name] = x
+            lp_prior = lp_prior + self._rv_log_prob(v, x, p) + ld
+        return lp_prior, lp_lik
+
     def constrain(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
         values, _ = self._walk_z(self._as_store(params), z, given or {})
         return values

@@ -23,4 +23,5 @@ from .hmc import HMC, hmc_sample
 from .nuts import NUTS, nuts_sample
 from .mcmc import sample, MCMCResult
 from .smc import smc_sample, SMCResult
+from .tempered_smc import smc_posterior_sample, tempered_smc, TemperedSMCResult
 from .diagnostics import effective_sample_size, potential_scale_reduction

@@ -180,6 +180,7 @@ def _run_vectorized(
     init_step_size,
     mesh,
     chain_axis,
+    inv_mass0=None,
 ):
     """Dispatch to the chain-batched engines (vectorized NUTS / HMC)."""
     from .nuts import NUTS
@@ -191,7 +192,7 @@ def _run_vectorized(
         per_chain = jax.value_and_grad(lambda zf: -potential_fn(zf))
         value_and_grad_fn = jax.vmap(per_chain)
 
-    init_eps = min(init_step_size, 0.5)
+    init_eps = min(init_step_size, 0.5) if num_warmup > 0 else init_step_size
 
     def run(z0_shard, key_shard, axis_name):
         if isinstance(kernel, HMC):
@@ -200,6 +201,7 @@ def _run_vectorized(
                 num_integration_steps=kernel.num_integration_steps,
                 target_accept=target_accept, init_step_size=init_eps,
                 jitter_steps=kernel.jitter_steps, axis_name=axis_name,
+                inv_mass0=inv_mass0,
             )
             c = z0_shard.shape[0]
             stats = {
@@ -219,7 +221,7 @@ def _run_vectorized(
             max_depth=getattr(kernel, "max_depth", 10),
             target_accept=target_accept, init_step_size=init_eps,
             max_delta_energy=getattr(kernel, "max_delta_energy", 1000.0),
-            axis_name=axis_name,
+            axis_name=axis_name, inv_mass0=inv_mass0,
         )
         stats = {
             "accept_prob": res.accept_prob,
@@ -277,6 +279,7 @@ def sample(
     chain_axis: str = "chain",
     collect_deterministic: bool = True,
     value_and_grad_fn=None,
+    resume_state: Optional[Dict[str, Array]] = None,
 ) -> MCMCResult:
     """Run MCMC on a ProbabilisticModel (or a raw potential callable).
 
@@ -311,11 +314,27 @@ def sample(
     potential_fn, unravel, _ = make_potential(comp, params, given)
     kernel_step = kernel.make_step(potential_fn)
 
+    # -- resume from a checkpointed sampler state (skips warmup) -----------
+    inv_mass0 = None
+    if resume_state is not None:
+        if chain_method != "vectorized":
+            raise ValueError("resume_state is supported with chain_method='vectorized'")
+        num_warmup = 0
+        init_step_size = float(resume_state["step_size"])
+        adapt_step_size = False
+        inv_mass0 = jnp.asarray(resume_state["inv_mass"])
+
     in_slow, window_end = build_warmup_schedule(num_warmup)
 
     # -- initial positions: prior sample per chain (or user init) ----------
     k_init, k_run = jax.random.split(key)
-    if init_values is not None:
+    if resume_state is not None:
+        z0 = jnp.asarray(resume_state["z"])
+        if z0.shape[0] != num_chains:
+            raise ValueError(
+                f"resume_state has {z0.shape[0]} chains, expected {num_chains}"
+            )
+    elif init_values is not None:
         z_init_tree = comp.unconstrain(params, init_values)
         z0_flat, _ = jax.flatten_util.ravel_pytree(z_init_tree)
         z0 = jnp.broadcast_to(z0_flat, (num_chains,) + z0_flat.shape)
@@ -343,7 +362,7 @@ def sample(
         zs, stats, info = _run_vectorized(
             kernel, potential_fn, value_and_grad_fn, z0, num_warmup,
             num_samples, k_run, target_accept, init_step_size, mesh,
-            chain_axis,
+            chain_axis, inv_mass0=inv_mass0,
         )
     elif chain_method == "vmap" or mesh is None:
         runner = jax.jit(
@@ -421,6 +440,12 @@ def sample(
         rhat[n] = potential_scale_reduction(flat).reshape(event_shape)
     diagnostics["ess"] = ess
     diagnostics["r_hat"] = rhat
+    # checkpointable sampler state: feed back via sample(resume_state=...)
+    diagnostics["resume_state"] = {
+        "z": zs[:, -1],
+        "step_size": info["step_size"],
+        "inv_mass": info["inv_mass"],
+    }
     if "num_steps" in stats:
         diagnostics["total_leapfrog_steps"] = jnp.sum(stats["num_steps"])
 

@@ -102,14 +102,17 @@ class MaximumLikelihood(InferenceMethod):
     latent RVs (if any) are marginalized by prior Monte-Carlo."""
 
     def make_loss(self, p_comp: CompiledModel, guide):
-        loaders = tuple(p_comp.data_loader_names)
+        observed = set(p_comp.observed_names)
 
         def loss_fn(opt_params, key, num_samples: int):
             p_params = opt_params["p"]
 
             def one(k):
                 values, _ = p_comp._walk_sample(p_comp._as_store(p_params), k, {})
-                return p_comp.log_likelihood_one(p_params, values)
+                # evaluate the likelihood at the OBSERVED data (drop the
+                # prior-predictive draws of observed variables)
+                latents = {k2: v for k2, v in values.items() if k2 not in observed}
+                return p_comp.log_likelihood_one(p_params, latents)
 
             keys = jax.random.split(key, num_samples)
             return -jnp.mean(jax.vmap(one)(keys))

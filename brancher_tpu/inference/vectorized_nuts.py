@@ -287,6 +287,7 @@ def nuts_batched(
     init_step_size: float = 0.1,
     max_delta_energy: float = 1000.0,
     axis_name=None,
+    inv_mass0=None,
 ) -> VectorizedNUTSResult:
     """Full vectorized-NUTS run with shared warmup adaptation."""
     c, d = z0.shape
@@ -325,7 +326,7 @@ def nuts_batched(
         return (z, val, grad, da, s1, s2, n_acc, inv_mass), None
 
     da = da_init(jnp.asarray(init_step_size, dtype))
-    inv_mass = jnp.ones((d,), dtype)
+    inv_mass = jnp.ones((d,), dtype) if inv_mass0 is None else jnp.asarray(inv_mass0, dtype)
     carry = (z0, val0, grad0, da, jnp.zeros((d,), dtype), jnp.zeros((d,), dtype),
              jnp.zeros((), dtype), inv_mass)
     if num_warmup > 0:

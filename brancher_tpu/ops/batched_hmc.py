@@ -43,6 +43,7 @@ def hmc_batched(
     init_step_size: float = 0.1,
     jitter_steps: bool = True,
     axis_name=None,
+    inv_mass0=None,
 ) -> BatchedHMCResult:
     """value_and_grad_fn: w [C,d] -> (logpost [C], grad [C,d])."""
     c, d = z0.shape
@@ -114,7 +115,7 @@ def hmc_batched(
         return (z, val, grad, da, s1, s2, n_acc, inv_mass), ap
 
     da = da_init(jnp.asarray(init_step_size, dtype))
-    inv_mass = jnp.ones((d,), dtype)
+    inv_mass = jnp.ones((d,), dtype) if inv_mass0 is None else jnp.asarray(inv_mass0, dtype)
     carry = (z0, val0, grad0, da, jnp.zeros((d,), dtype), jnp.zeros((d,), dtype),
              jnp.zeros((), dtype), inv_mass)
     if num_warmup > 0:

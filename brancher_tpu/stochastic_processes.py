@@ -191,3 +191,71 @@ def MarkovProcess(
         name=name,
         links=all_links,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-process helpers (SURVEY.md §2 notes possible GP-style helpers in
+# the reference [L]; provided here as first-class sugar over the MVN kernel)
+# ---------------------------------------------------------------------------
+def rbf_kernel(x, lengthscale, variance):
+    """RBF/squared-exponential Gram matrix for inputs x [N] or [N, D]."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    d2 = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    return variance * jnp.exp(-0.5 * d2 / lengthscale**2)
+
+
+def matern32_kernel(x, lengthscale, variance):
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    d = jnp.sqrt(jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1) + 1e-12)
+    s = jnp.sqrt(3.0) * d / lengthscale
+    return variance * (1.0 + s) * jnp.exp(-s)
+
+
+_KERNELS = {"rbf": rbf_kernel, "matern32": matern32_kernel}
+
+
+def GaussianProcess(
+    inputs,
+    lengthscale,
+    variance,
+    name: Optional[str] = None,
+    kernel: str = "rbf",
+    mean=0.0,
+    jitter: float = 1e-5,
+):
+    """GP prior over function values at fixed inputs: f ~ N(mean, K).
+
+    ``lengthscale`` / ``variance`` accept scalars, variables or
+    expressions (hyperpriors compose naturally; NUTS then samples them
+    jointly with f).  The Gram matrix builds inside the compiled closure —
+    one fused [N,N] kernel construction + Cholesky per evaluation.
+    """
+    from .distributions import MultivariateNormal
+    from .variables import var2link
+
+    kfn = _KERNELS[kernel]
+    x = jnp.asarray(inputs, jnp.float32)
+    n = x.shape[0]
+    ls_link = var2link(lengthscale)
+    var_link = var2link(variance)
+    mean_link = var2link(mean)
+
+    def cov_fn(values, params):
+        k = kfn(x, ls_link.fn(values, params), var_link.fn(values, params))
+        return k + jitter * jnp.eye(n, dtype=k.dtype)
+
+    def loc_fn(values, params):
+        return jnp.broadcast_to(mean_link.fn(values, params), (n,))
+
+    from .variables import PartialLink
+
+    cov = PartialLink(tuple(ls_link.vars) + tuple(var_link.vars), cov_fn)
+    loc = PartialLink(tuple(mean_link.vars), loc_fn)
+    return RandomVariable(
+        MultivariateNormal(), name=name,
+        links={"loc": loc, "covariance_matrix": cov},
+    )

@@ -1,0 +1,47 @@
+"""Gaussian-process prior/posterior sanity (stochastic_processes GP sugar)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brancher_tpu import NormalVariable, ProbabilisticModel, LogNormalVariable
+from brancher_tpu.stochastic_processes import GaussianProcess, rbf_kernel
+from brancher_tpu.inference import NUTS, sample
+
+
+def test_gp_prior_covariance(key):
+    xs = np.linspace(0, 1, 10).astype(np.float32)
+    f = GaussianProcess(xs, lengthscale=0.3, variance=2.0, name="f")
+    model = ProbabilisticModel([f])
+    s = model.get_sample_dict(4000, key=key)
+    emp_cov = np.cov(np.asarray(s["f"]).T)
+    expect = np.asarray(rbf_kernel(xs, 0.3, 2.0))
+    np.testing.assert_allclose(emp_cov, expect, atol=0.25)
+
+
+def test_gp_regression_posterior(key):
+    """GP posterior mean at observed points must track the data."""
+    rng = np.random.RandomState(0)
+    xs = np.linspace(0, 2, 15).astype(np.float32)
+    f_true = np.sin(2 * xs)
+    y_obs = (f_true + 0.1 * rng.normal(size=len(xs))).astype(np.float32)
+
+    f = GaussianProcess(xs, lengthscale=0.5, variance=1.0, name="f")
+    y = NormalVariable(f, 0.1, "y")
+    y.observe(y_obs)
+    model = ProbabilisticModel([y])
+    res = sample(model, kernel=NUTS(max_depth=8), num_samples=400,
+                 num_warmup=400, num_chains=8, key=key)
+    f_post = np.asarray(jnp.mean(res.samples["f"], axis=(0, 1)))
+    assert np.max(np.abs(f_post - f_true)) < 0.35, np.max(np.abs(f_post - f_true))
+
+
+def test_gp_hyperprior(key):
+    """Lengthscale as a latent composes (hyperprior through the link)."""
+    xs = np.linspace(0, 1, 8).astype(np.float32)
+    ls = LogNormalVariable(-1.0, 0.3, "ls")
+    f = GaussianProcess(xs, lengthscale=ls, variance=1.0, name="f")
+    model = ProbabilisticModel([f])
+    s = model.get_sample_dict(5, key=key)
+    assert s["f"].shape == (5, 8)
+    assert np.all(np.isfinite(np.asarray(s["f"])))

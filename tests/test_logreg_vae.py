@@ -85,3 +85,25 @@ def test_sharded_elbo_matches_local(key):
     l1, _ = r1.guide.posterior_moments(r1.params["q"])
     l2, _ = r2.guide.posterior_moments(r2.params["q"])
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0.15)
+
+
+def test_maximum_likelihood_uses_observed_data(key):
+    """Regression: ML must evaluate the likelihood at OBSERVED data, not
+    at the model's own prior-predictive draws (which degenerates)."""
+    import brancher_tpu.functions as BF
+    from brancher_tpu import (
+        BernoulliVariable, DeterministicVariable, ProbabilisticModel,
+    )
+    from brancher_tpu.inference import MaximumLikelihood
+
+    x, y, w_true = make_logreg_data(num_points=400, dim=6, seed=3)
+    w = DeterministicVariable(np.zeros(6, np.float32), "w", learnable=True)
+    yv = BernoulliVariable(logits=BF.matmul(jnp.asarray(x), w), name="y")
+    yv.observe(jnp.asarray(y))
+    model = ProbabilisticModel([yv])
+    res = perform_inference(
+        model, number_iterations=600, number_samples=1, lr=0.1,
+        inference_method=MaximumLikelihood(), key=key,
+    )
+    w_hat = np.asarray(res.params["p"]["w"])
+    assert np.corrcoef(w_hat, w_true)[0, 1] > 0.9
