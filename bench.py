@@ -27,6 +27,11 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compilation cache: amortize the large first-compile of the
+    # NUTS while-loop program across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from brancher_tpu.models.logistic_regression import (

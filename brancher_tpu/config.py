@@ -52,3 +52,11 @@ def set_dtype(dtype) -> None:
 
 def default_dtype() -> jnp.dtype:
     return config.dtype
+
+
+def enable_nan_checks(on: bool = True) -> None:
+    """Debug aid (SURVEY.md §5 "Race detection": pure-JAX code needs no
+    sanitizers; NaN provenance is the analogous failure mode).  Turns on
+    jax_debug_nans so the first NaN-producing primitive raises with a
+    traceback into the model."""
+    jax.config.update("jax_debug_nans", on)

@@ -229,6 +229,37 @@ class StudentT(Distribution):
         return lp
 
 
+class TruncatedNormal(Distribution):
+    """Normal truncated to [low, high], sampled by inverse-CDF (ndtri) —
+    shape-static and reparameterized, unlike rejection sampling."""
+
+    param_names = ("loc", "scale", "low", "high")
+    reparameterized = True
+    support = INTERVAL
+
+    def _cdf_bounds(self, loc, scale, low, high):
+        from jax.scipy.stats import norm
+
+        a = norm.cdf((low - loc) / scale)
+        b = norm.cdf((high - loc) / scale)
+        return a, b
+
+    def sample(self, key, *, loc, scale, low, high):
+        shape = _bshape(loc, scale, low, high)
+        a, b = self._cdf_bounds(loc, scale, low, high)
+        u = jax.random.uniform(key, shape, dtype=jnp.result_type(loc, scale, float),
+                               minval=1e-6, maxval=1.0 - 1e-6)
+        p = a + (b - a) * u
+        return loc + scale * jsp.ndtri(p)
+
+    def log_prob(self, value, *, loc, scale, low, high):
+        a, b = self._cdf_bounds(loc, scale, low, high)
+        z = (value - loc) / scale
+        lp = -0.5 * (z * z + _LOG_2PI) - jnp.log(scale) - jnp.log(b - a)
+        inside = (value >= low) & (value <= high)
+        return jnp.where(inside, lp, -jnp.inf)
+
+
 class Uniform(Distribution):
     param_names = ("low", "high")
     reparameterized = True
@@ -638,7 +669,7 @@ DISTRIBUTIONS = {
     for cls in [
         Normal, LogNormal, HalfNormal, Cauchy, HalfCauchy, Laplace, Logistic,
         StudentT, Uniform, Gamma, InverseGamma, Exponential, Chi2, Beta,
-        Bernoulli, Binomial, Poisson, Geometric, Categorical, Concrete,
+        TruncatedNormal, Bernoulli, Binomial, Poisson, Geometric, Categorical, Concrete,
         MultivariateNormal, Dirichlet, Delta, Empirical, RandomIndices,
     ]
 }

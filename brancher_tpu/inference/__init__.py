@@ -22,6 +22,7 @@ from .gradient_estimators import (
 from .hmc import HMC, hmc_sample
 from .nuts import NUTS, nuts_sample
 from .mcmc import sample, MCMCResult
+from .chees import ChEESHMC, chees_hmc
 from .smc import smc_sample, SMCResult
 from .tempered_smc import smc_posterior_sample, tempered_smc, TemperedSMCResult
 from .diagnostics import effective_sample_size, potential_scale_reduction

@@ -1,0 +1,221 @@
+"""ChEES-HMC: adaptive-trajectory-length HMC without tree building.
+
+Cross-Chain Expected Squared Jump Distance adaptation (Hoffman, Radul &
+Sountsov 2021 — "An Adaptive MCMC Scheme for Setting Trajectory Lengths
+in Hamiltonian Monte Carlo"; cf. PAPERS.md "Efficiently Vectorized MCMC").
+Where NUTS spends a dynamic tree + U-turn bookkeeping per draw, ChEES
+learns ONE shared trajectory length from cross-chain statistics:
+
+    ChEES = E[ (||z' - m||^2 - ||z - m||^2)^2 ] / 4,   m = cross-chain mean
+
+whose gradient w.r.t. the trajectory length has the per-chain estimator
+ (||z'-m||^2 - ||z-m||^2) * <z'-m, v'>  evaluated at the jittered length.
+Adam ascends log-length during warmup; lengths are jittered by a Halton
+sequence (low-discrepancy, as in the paper) to cover the autocorrelation
+curve.
+
+TPU-first: everything is chain-batched [C, d] straight-line code — the
+only control flow is the leapfrog fori_loop with a dynamic-but-uniform
+step count, so the program is dramatically cheaper to compile than NUTS
+on backends where while-loop compilation is expensive, and each step is
+pure MXU/VPU work.  The cross-chain mean/criterion are `pmean`s — they
+ride ICI when chains shard over a mesh.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .adaptation import build_warmup_schedule, da_init, da_restart, da_update
+
+Array = jax.Array
+
+
+class ChEESResult(NamedTuple):
+    samples: Array  # [C, S, d]
+    accept_prob: Array  # [C, S]
+    step_size: Array
+    trajectory_length: Array
+    inv_mass: Array
+
+
+class ChEESHMC:
+    """Kernel config for mcmc.sample(chain_method='vectorized')."""
+
+    def __init__(self, target_accept: float = 0.8, init_trajectory_length: float = 1.0,
+                 max_leapfrog: int = 256, adam_lr: float = 0.025):
+        self.target_accept = target_accept
+        self.init_trajectory_length = init_trajectory_length
+        self.max_leapfrog = max_leapfrog
+        self.adam_lr = adam_lr
+
+
+def _halton(i: Array, base: int = 2) -> Array:
+    """Halton low-discrepancy sequence member in (0,1), traced index."""
+    f = jnp.zeros((), jnp.float32)
+    r = jnp.asarray(1.0, jnp.float32)
+    x = i + 1
+
+    def body(_, carry):
+        f, r, x = carry
+        r = r / base
+        f = f + r * (x % base)
+        x = x // base
+        return (f, r, x)
+
+    f, _, _ = jax.lax.fori_loop(0, 30, body, (f, r, x))
+    return f
+
+
+def chees_hmc(
+    value_and_grad_fn: Callable[[Array], Tuple[Array, Array]],
+    z0: Array,
+    num_warmup: int,
+    num_samples: int,
+    key: Array,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    init_trajectory_length: float = 1.0,
+    max_leapfrog: int = 256,
+    adam_lr: float = 0.025,
+    axis_name=None,
+    inv_mass0=None,
+) -> ChEESResult:
+    """value_and_grad_fn: [C,d] -> ([C] log-post, [C,d] grad)."""
+    c, d = z0.shape
+    dtype = z0.dtype
+
+    def gmean(x):
+        m = jnp.mean(x)
+        return jax.lax.pmean(m, axis_name) if axis_name else m
+
+    def gmean_vec(x):  # mean over chains -> [d]
+        m = jnp.mean(x, axis=0)
+        return jax.lax.pmean(m, axis_name) if axis_name else m
+
+    def one_step(z, val, grad, eps, traj, inv_mass, k, step_idx):
+        k_mom, k_acc = jax.random.split(k, 2)
+        r0 = jax.random.normal(k_mom, (c, d), dtype) / jnp.sqrt(inv_mass)[None, :]
+        h0 = -val + 0.5 * jnp.sum(r0 * r0 * inv_mass[None, :], -1)
+
+        # Halton-jittered trajectory length (shared across chains)
+        u = _halton(step_idx)
+        t_jit = traj * u
+        n_steps = jnp.clip(
+            jnp.ceil(t_jit / eps).astype(jnp.int32), 1, max_leapfrog
+        )
+
+        def leap(i, carry):
+            z, r, val, grad = carry
+            r = r + 0.5 * eps * grad
+            z = z + eps * inv_mass[None, :] * r
+            val, grad = value_and_grad_fn(z)
+            r = r + 0.5 * eps * grad
+            return (z, r, val, grad)
+
+        z1, r1, val1, grad1 = jax.lax.fori_loop(0, n_steps, leap, (z, r0, val, grad))
+        h1 = -val1 + 0.5 * jnp.sum(r1 * r1 * inv_mass[None, :], -1)
+        delta = jnp.where(jnp.isnan(h1), -jnp.inf, h0 - h1)
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+        accept = jax.random.uniform(k_acc, (c,)) < accept_prob
+
+        # ChEES trajectory-length gradient (cross-chain centered)
+        m = gmean_vec(jnp.where(accept[:, None], z1, z))
+        dz1 = z1 - m[None, :]
+        dz0 = z - m[None, :]
+        jump = jnp.sum(dz1 * dz1, -1) - jnp.sum(dz0 * dz0, -1)  # [C]
+        v1 = r1 * inv_mass[None, :]
+        chees_grad_c = jump * jnp.sum(dz1 * v1, -1) * accept_prob
+        chees_grad = gmean(chees_grad_c) * u  # d/d(log traj) via chain rule ~ * t ∝ u·traj
+
+        z = jnp.where(accept[:, None], z1, z)
+        val = jnp.where(accept, val1, val)
+        grad = jnp.where(accept[:, None], grad1, grad)
+        return z, val, grad, accept_prob, chees_grad
+
+    val0, grad0 = value_and_grad_fn(z0)
+    in_slow, window_end = build_warmup_schedule(num_warmup)
+    k_warm, k_samp = jax.random.split(key)
+
+    def warmup_body(carry, xs):
+        (z, val, grad, da, s1, s2, n_acc, inv_mass,
+         log_traj, adam_m, adam_v, adam_t) = carry
+        k, slow, w_end, idx = xs
+        eps = jnp.exp(da.log_step)
+        traj = jnp.exp(log_traj)
+        z, val, grad, ap, chees_grad = one_step(
+            z, val, grad, eps, traj, inv_mass, k, idx
+        )
+        da = da_update(da, gmean(ap), target_accept=target_accept)
+
+        # Adam ascent on log trajectory length
+        adam_t = adam_t + 1.0
+        g = chees_grad
+        adam_m = 0.9 * adam_m + 0.1 * g
+        adam_v = 0.999 * adam_v + 0.001 * g * g
+        mhat = adam_m / (1.0 - 0.9**adam_t)
+        vhat = adam_v / (1.0 - 0.999**adam_t)
+        log_traj = log_traj + adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        # keep the trajectory sane: <= max_leapfrog steps at current eps
+        log_traj = jnp.minimum(log_traj, jnp.log(eps * max_leapfrog))
+
+        s1 = jnp.where(slow, s1 + jnp.sum(z, 0), s1)
+        s2 = jnp.where(slow, s2 + jnp.sum(z * z, 0), s2)
+        n_acc = jnp.where(slow, n_acc + c, n_acc)
+        s1g = jax.lax.psum(s1, axis_name) if axis_name else s1
+        s2g = jax.lax.psum(s2, axis_name) if axis_name else s2
+        ng = jax.lax.psum(n_acc, axis_name) if axis_name else n_acc
+        mean = s1g / jnp.maximum(ng, 1.0)
+        var = s2g / jnp.maximum(ng, 1.0) - mean * mean
+        var = (ng / (ng + 5.0)) * var + 1e-3 * (5.0 / (ng + 5.0))
+        inv_mass = jnp.where(w_end, var, inv_mass)
+        s1 = jnp.where(w_end, jnp.zeros_like(s1), s1)
+        s2 = jnp.where(w_end, jnp.zeros_like(s2), s2)
+        n_acc = jnp.where(w_end, jnp.zeros_like(n_acc), n_acc)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(w_end, a, b), da_restart(da), da
+        )
+        return (z, val, grad, da, s1, s2, n_acc, inv_mass,
+                log_traj, adam_m, adam_v, adam_t), ap
+
+    da = da_init(jnp.asarray(init_step_size, dtype))
+    inv_mass = jnp.ones((d,), dtype) if inv_mass0 is None else jnp.asarray(inv_mass0, dtype)
+    carry = (
+        z0, val0, grad0, da,
+        jnp.zeros((d,), dtype), jnp.zeros((d,), dtype), jnp.zeros((), dtype),
+        inv_mass,
+        jnp.log(jnp.asarray(init_trajectory_length, dtype)),
+        jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype),
+    )
+    if num_warmup > 0:
+        keys = jax.random.split(k_warm, num_warmup)
+        idxs = jnp.arange(num_warmup, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(
+            warmup_body, carry,
+            (keys, jnp.asarray(in_slow), jnp.asarray(window_end), idxs),
+        )
+    (z, val, grad, da, _, _, _, inv_mass, log_traj, _, _, _) = carry
+    eps_final = jnp.exp(da.log_step_avg) if num_warmup > 0 else jnp.asarray(init_step_size, dtype)
+    traj_final = jnp.exp(log_traj)
+
+    def sample_body(carry, xs):
+        z, val, grad = carry
+        k, idx = xs
+        z, val, grad, ap, _ = one_step(
+            z, val, grad, eps_final, traj_final, inv_mass, k, idx
+        )
+        return (z, val, grad), (z, ap)
+
+    keys = jax.random.split(k_samp, num_samples)
+    idxs = jnp.arange(num_samples, dtype=jnp.int32) + num_warmup
+    _, (zs, aps) = jax.lax.scan(sample_body, (z, val, grad), (keys, idxs))
+    return ChEESResult(
+        samples=jnp.swapaxes(zs, 0, 1),
+        accept_prob=jnp.swapaxes(aps, 0, 1),
+        step_size=eps_final,
+        trajectory_length=traj_final,
+        inv_mass=inv_mass,
+    )

@@ -182,9 +182,10 @@ def _run_vectorized(
     chain_axis,
     inv_mass0=None,
 ):
-    """Dispatch to the chain-batched engines (vectorized NUTS / HMC)."""
+    """Dispatch to the chain-batched engines (vectorized NUTS / HMC / ChEES)."""
     from .nuts import NUTS
     from .hmc import HMC
+    from .chees import ChEESHMC, chees_hmc
     from .vectorized_nuts import nuts_batched
     from ..ops.batched_hmc import hmc_batched
 
@@ -195,6 +196,22 @@ def _run_vectorized(
     init_eps = min(init_step_size, 0.5) if num_warmup > 0 else init_step_size
 
     def run(z0_shard, key_shard, axis_name):
+        if isinstance(kernel, ChEESHMC):
+            res = chees_hmc(
+                value_and_grad_fn, z0_shard, num_warmup, num_samples, key_shard,
+                target_accept=target_accept, init_step_size=init_eps,
+                init_trajectory_length=kernel.init_trajectory_length,
+                max_leapfrog=kernel.max_leapfrog, adam_lr=kernel.adam_lr,
+                axis_name=axis_name, inv_mass0=inv_mass0,
+            )
+            stats = {
+                "accept_prob": res.accept_prob,
+                "diverging": jnp.zeros_like(res.accept_prob, dtype=bool),
+                "num_steps": jnp.full(res.accept_prob.shape, 0, jnp.int32),
+            }
+            info = {"step_size": res.step_size, "inv_mass": res.inv_mass,
+                    "trajectory_length": res.trajectory_length}
+            return res.samples, stats, info
         if isinstance(kernel, HMC):
             res = hmc_batched(
                 value_and_grad_fn, z0_shard, num_warmup, num_samples, key_shard,
@@ -312,7 +329,14 @@ def sample(
     if params is None:
         params = comp.initial_params
     potential_fn, unravel, _ = make_potential(comp, params, given)
-    kernel_step = kernel.make_step(potential_fn)
+    if hasattr(kernel, "make_step"):
+        kernel_step = kernel.make_step(potential_fn)
+    elif chain_method != "vectorized":
+        raise ValueError(
+            f"kernel {type(kernel).__name__} requires chain_method='vectorized'"
+        )
+    else:
+        kernel_step = None
 
     # -- resume from a checkpointed sampler state (skips warmup) -----------
     inv_mass0 = None

@@ -203,12 +203,17 @@ def nuts_transition_batched(
         sp_grad = jnp.where((live & swap)[:, None], grad_new, s.sp_grad)
 
         # --- U-turn checks vs checkpoint stack (odd leaves) ---------------
-        turn_sub = jnp.zeros((c,), bool)
-        for k_slot in range(kdim):
-            in_range = jnp.logical_and(k_slot >= pc - t_ones, k_slot < pc)
-            rho = s_cum_new - rs_ck[:, k_slot]
-            tk = _turning(rho, r_ck[:, k_slot], r_new, inv_mass)
-            turn_sub = jnp.logical_or(turn_sub, jnp.logical_and(in_range, tk))
+        # one batched sweep over all K slots ([C,K,d] einsums) with a [K]
+        # range mask — a single fused op instead of an unrolled slot loop
+        # (major compile-time win for the while body)
+        rho_all = s_cum_new[:, None, :] - rs_ck  # [C, K, d]
+        dot_a = jnp.einsum("ckd,ckd->ck", rho_all, r_ck * inv_mass[None, None, :])
+        vb = (r_new * inv_mass[None, :])[:, None, :]
+        dot_b = jnp.einsum("ckd,ckd->ck", rho_all, jnp.broadcast_to(vb, rho_all.shape))
+        turn_all = jnp.logical_or(dot_a <= 0.0, dot_b <= 0.0)  # [C, K]
+        slot_ids = jnp.arange(kdim, dtype=jnp.int32)
+        in_range = jnp.logical_and(slot_ids >= pc - t_ones, slot_ids < pc)  # [K]
+        turn_sub = jnp.any(jnp.logical_and(turn_all, in_range[None, :]), axis=1)
         turn_sub = jnp.logical_and(turn_sub, jnp.logical_not(even))
 
         new_fail = live & (dvg | turn_sub)

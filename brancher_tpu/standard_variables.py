@@ -20,7 +20,7 @@ from .variables import DeterministicVariable, RandomVariable
 __all__ = [
     "NormalVariable", "LogNormalVariable", "HalfNormalVariable",
     "CauchyVariable", "HalfCauchyVariable", "LaplaceVariable",
-    "LogisticVariable", "StudentTVariable", "UniformVariable",
+    "LogisticVariable", "StudentTVariable", "UniformVariable", "TruncatedNormalVariable",
     "GammaVariable", "InverseGammaVariable", "ExponentialVariable",
     "Chi2Variable", "BetaVariable", "BernoulliVariable", "BinomialVariable",
     "PoissonVariable", "GeometricVariable", "CategoricalVariable",
@@ -72,6 +72,14 @@ def LogisticVariable(loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, 
 
 def StudentTVariable(df, loc, scale, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
     return _rv(D.StudentT(), {"df": df, "loc": loc, "scale": scale}, name, plate_shape, log_prob_scale, observed)
+
+
+def TruncatedNormalVariable(loc, scale, low, high, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):
+    return _rv(
+        D.TruncatedNormal(),
+        {"loc": loc, "scale": scale, "low": low, "high": high},
+        name, plate_shape, log_prob_scale, observed,
+    )
 
 
 def UniformVariable(low, high, name=None, plate_shape=(), log_prob_scale=1.0, observed=None):

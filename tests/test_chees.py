@@ -1,0 +1,43 @@
+"""ChEES-HMC: adaptive trajectory length, correctness on analytic targets."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu.inference import ChEESHMC, sample
+from brancher_tpu.inference.chees import chees_hmc
+
+
+def test_chees_conjugate(key):
+    from brancher_tpu.models.conjugate import conjugate_normal_model
+
+    model, truth = conjugate_normal_model(num_obs=20)
+    res = sample(model, kernel=ChEESHMC(), num_samples=600, num_warmup=500,
+                 num_chains=32, key=key)
+    assert abs(float(jnp.mean(res.samples["mu"])) - truth["post_mean"]) < 0.05
+    assert abs(float(jnp.var(res.samples["mu"])) - truth["post_var"]) < 0.03
+    assert float(res.diagnostics["mean_accept_prob"]) > 0.6
+
+
+def test_chees_learns_trajectory(key):
+    """Anisotropic Gaussian: variances must match across 3 orders of
+    magnitude (needs both mass + trajectory adaptation)."""
+    scales = jnp.asarray([0.1, 1.0, 10.0])
+
+    def vg(z):
+        return -0.5 * jnp.sum((z / scales) ** 2, -1), -z / scales**2
+
+    z0 = 0.1 * jax.random.normal(key, (64, 3))
+    res = jax.jit(lambda k: chees_hmc(vg, z0, 600, 600, k))(jax.random.PRNGKey(2))
+    var = np.asarray(jnp.var(res.samples.reshape(-1, 3), axis=0))
+    np.testing.assert_allclose(var, np.asarray(scales) ** 2, rtol=0.3)
+    assert float(res.trajectory_length) > 0.5
+
+
+def test_chees_requires_vectorized():
+    import pytest
+    from brancher_tpu.models.conjugate import conjugate_normal_model
+
+    model, _ = conjugate_normal_model(num_obs=5)
+    with pytest.raises(ValueError):
+        sample(model, kernel=ChEESHMC(), num_samples=5, num_warmup=5,
+               num_chains=2, chain_method="vmap")

@@ -164,3 +164,20 @@ def test_reparameterized_gradients():
 
     g = jax.grad(mean_est)(jnp.asarray(0.5))
     np.testing.assert_allclose(float(g), 1.0, rtol=1e-5)
+
+
+def test_truncated_normal_vs_scipy(key):
+    from scipy.stats import truncnorm
+
+    t = D.TruncatedNormal()
+    params = dict(loc=jnp.asarray(0.5), scale=jnp.asarray(1.2),
+                  low=jnp.asarray(-1.0), high=jnp.asarray(2.0))
+    a, b = (-1.0 - 0.5) / 1.2, (2.0 - 0.5) / 1.2
+    ref = truncnorm(a, b, 0.5, 1.2)
+    s = _mc_sample(t, key, **params)
+    assert abs(float(jnp.mean(s)) - ref.mean()) < 0.02
+    assert abs(float(jnp.var(s)) - ref.var()) < 0.02
+    assert float(jnp.min(s)) >= -1.0 and float(jnp.max(s)) <= 2.0
+    lp = float(t.log_prob(jnp.asarray(0.3), **params))
+    np.testing.assert_allclose(lp, ref.logpdf(0.3), rtol=1e-4)
+    assert float(t.log_prob(jnp.asarray(5.0), **params)) == -np.inf
