@@ -673,3 +673,80 @@ DISTRIBUTIONS = {
         MultivariateNormal, Dirichlet, Delta, Empirical, RandomIndices,
     ]
 }
+
+
+class Mixture(Distribution):
+    """Finite mixture with EXPLICITLY MARGINALIZED component assignment.
+
+    Component parameters carry a leading K axis; ``log_prob`` is
+    logsumexp over components — smooth in all continuous parameters, so
+    mixtures work directly as HMC/NUTS likelihoods and latents (no
+    discrete latent enters the sampler; this is the enumeration-free
+    TPU-friendly mixture formulation).
+
+    Example::
+
+        m = Mixture(Normal())
+        m.log_prob(x, probs=w[K], loc=mu[K], scale=sig[K])
+    """
+
+    def __init__(self, component_dist: "Distribution"):
+        self.component = component_dist
+        self.param_names = ("probs", "logits") + tuple(component_dist.param_names)
+        self.support = component_dist.support
+        self.reparameterized = False  # sampling draws a discrete index
+
+    def _log_weights(self, probs, logits):
+        if (probs is None) == (logits is None):
+            raise ValueError("exactly one of probs/logits must be given")
+        return jnp.log(probs) if logits is None else jax.nn.log_softmax(logits)
+
+    @staticmethod
+    def _expand(v, k):
+        """Give every component parameter a leading K axis (scalars and
+        shared params broadcast)."""
+        v = jnp.asarray(v)
+        if v.ndim == 0:
+            return jnp.broadcast_to(v, (k,))
+        if v.shape[0] == k:
+            return v
+        return jnp.broadcast_to(v, (k,) + v.shape)
+
+    def sample(self, key, *, probs=None, logits=None, **comp_params):
+        lw = self._log_weights(probs, logits)
+        k_n = lw.shape[0]
+        comp_params = {k_: self._expand(v, k_n) for k_, v in comp_params.items()}
+        k_idx, k_comp = jax.random.split(key)
+        idx = jax.random.categorical(k_idx, lw)
+        chosen = {k: jnp.take(v, idx, axis=0) for k, v in comp_params.items()}
+        return self.component.sample(k_comp, **chosen)
+
+    def log_prob(self, value, *, probs=None, logits=None, **comp_params):
+        lw = self._log_weights(probs, logits)  # [K]
+        k = lw.shape[0]
+        comp_params = {k_: self._expand(v, k) for k_, v in comp_params.items()}
+
+        def comp_lp(i):
+            p_i = {key_: v[i] for key_, v in comp_params.items()}
+            lp = self.component.log_prob(value, **p_i)
+            # reduce event dims so mixing happens per data point
+            if self.component.event_ndim:
+                lp = jnp.sum(lp, axis=tuple(range(-self.component.event_ndim, 0)))
+            return lp
+
+        lps = jnp.stack([comp_lp(i) for i in range(k)])  # [K, ...]
+        shape = [k] + [1] * (lps.ndim - 1)
+        return jsp.logsumexp(lps + lw.reshape(shape), axis=0)
+
+    def mean(self, *, probs=None, logits=None, **comp_params):
+        lw = self._log_weights(probs, logits)
+        w = jnp.exp(lw)
+        comp_params = {k_: self._expand(v, w.shape[0]) for k_, v in comp_params.items()}
+        means = jnp.stack([
+            self.component.mean(**{k_: v[i] for k_, v in comp_params.items()})
+            for i in range(w.shape[0])
+        ])
+        return jnp.tensordot(w, means, axes=(0, 0))
+
+
+DISTRIBUTIONS["Mixture"] = Mixture

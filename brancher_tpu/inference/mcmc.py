@@ -297,6 +297,7 @@ def sample(
     collect_deterministic: bool = True,
     value_and_grad_fn=None,
     resume_state: Optional[Dict[str, Array]] = None,
+    init_strategy: str = "uniform",
 ) -> MCMCResult:
     """Run MCMC on a ProbabilisticModel (or a raw potential callable).
 
@@ -362,7 +363,13 @@ def sample(
         z_init_tree = comp.unconstrain(params, init_values)
         z0_flat, _ = jax.flatten_util.ravel_pytree(z_init_tree)
         z0 = jnp.broadcast_to(z0_flat, (num_chains,) + z0_flat.shape)
-    else:
+    elif init_strategy == "uniform":
+        # Stan-style default: uniform(-2, 2) in UNCONSTRAINED space.  Prior
+        # init can start chains in heavy-tailed stiff regions where every
+        # proposal diverges and the chain freezes (see test_eight_schools).
+        dim = jax.flatten_util.ravel_pytree(comp.z_example())[0].shape[0]
+        z0 = jax.random.uniform(k_init, (num_chains, dim), minval=-2.0, maxval=2.0)
+    elif init_strategy == "prior":
         def prior_z(k):
             vals = comp.sample_one(params, k, given)
             latents = {n: vals[n] for n in comp.continuous_latent_names}
@@ -370,6 +377,8 @@ def sample(
             return jax.flatten_util.ravel_pytree(z)[0]
 
         z0 = jax.vmap(prior_z)(jax.random.split(k_init, num_chains))
+    else:
+        raise ValueError(f"unknown init_strategy {init_strategy!r}")
 
     chain_keys = jax.random.split(k_run, num_chains)
 

@@ -133,6 +133,110 @@ def particle_filter(
     return SMCResult(log_ml, x, jax.nn.softmax(lw), filter_means, ess_history)
 
 
+def island_particle_filter(
+    ssm: StateSpace,
+    ys: Array,
+    num_particles: int,
+    key: Array,
+    mesh,
+    particle_axis: str = "particle",
+    ess_threshold: float = 0.5,
+) -> SMCResult:
+    """Island particle filter: NO cross-device state movement at all.
+
+    Each shard ("island", cf. Vergé et al. 2015) runs a complete local
+    particle filter with local adaptive systematic resampling; an island
+    carries a scalar log-weight (its running marginal-likelihood
+    estimate).  The global estimate combines islands by log-mean-exp —
+    an UNBIASED estimator.  The only collectives are O(1)/O(d) psums for
+    the log-marginal and the weighted filter means; particle state never
+    crosses ICI (SURVEY.md §7 hard part #4: "resample locally per shard"
+    — the zero-exchange end of that design space; the global-systematic
+    variant below is the full-exchange end).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_dev = mesh.shape[particle_axis]
+    if num_particles % n_dev != 0:
+        raise ValueError("num_particles must divide the particle-axis size")
+    local_p = num_particles // n_dev
+    t_len = ys.shape[0]
+
+    def body(keys_local, shared_key):
+        my = jax.lax.axis_index(particle_axis)
+        k_isl = jax.random.fold_in(shared_key, my)
+
+        x0 = jax.vmap(ssm.init_sample)(keys_local)
+        lw0 = jax.vmap(lambda x: ssm.obs_log_prob(ys[0], x, 0))(x0)
+
+        def island_logmeanexp(v):
+            # log( (1/n_dev) sum_islands exp(v) ) over the mesh axis
+            m = jax.lax.pmax(v, particle_axis)
+            s = jax.lax.psum(jnp.exp(v - m), particle_axis)
+            return m + jnp.log(s / n_dev)
+
+        def step(carry, t):
+            x, lw, isl_lw = carry
+            k_t = jax.random.fold_in(k_isl, t)
+            k_res, k_prop = jax.random.split(k_t)
+
+            # local adaptive systematic resampling (island-internal)
+            ess = _ess(lw)
+            do_resample = ess < ess_threshold * local_p
+            idx = systematic_resample_indices(k_res, lw)
+            iota = jnp.arange(local_p)
+            sel = jnp.where(do_resample, idx, iota)
+            x = jnp.take(x, sel, axis=0)
+            lse = jax.scipy.special.logsumexp(lw)
+            lw = jnp.where(
+                do_resample, jnp.zeros_like(lw), lw - lse + jnp.log(float(local_p))
+            )
+
+            keys = jax.vmap(lambda i: jax.random.fold_in(k_prop, i))(iota)
+            x_new = jax.vmap(lambda kk, xx: ssm.trans_sample(kk, xx, t))(keys, x)
+            l_obs = jax.vmap(lambda xx: ssm.obs_log_prob(ys[t], xx, t))(x_new)
+            lw_new = lw + l_obs
+
+            # island weight accumulates the local incremental likelihood
+            inc = jax.scipy.special.logsumexp(lw_new) - jax.scipy.special.logsumexp(lw)
+            isl_lw = isl_lw + inc
+
+            # cross-island weighted filter mean: O(d) psums only
+            w_local = jax.nn.softmax(lw_new)
+            local_mean = jnp.tensordot(w_local, x_new, axes=(0, 0))
+            isl_w = jnp.exp(isl_lw - island_logmeanexp(isl_lw)) / n_dev
+            global_mean = jax.lax.psum(isl_w * local_mean, particle_axis)
+            ess_global = jax.lax.psum(_ess(lw_new), particle_axis)
+            return (x_new, lw_new, isl_lw), (global_mean, ess_global)
+
+        ts = jnp.arange(1, t_len)
+        isl_lw0 = jax.scipy.special.logsumexp(lw0) - jnp.log(float(local_p))
+        (x, lw, isl_lw), (means, esss) = jax.lax.scan(step, (x0, lw0, isl_lw0), ts)
+
+        log_ml = island_logmeanexp(isl_lw)
+        w0 = jax.nn.softmax(lw0)
+        mean0 = jax.lax.pmean(jnp.tensordot(w0, x0, axes=(0, 0)), particle_axis)
+        filter_means = jnp.concatenate([mean0[None], means], axis=0)
+        ess_history = jnp.concatenate(
+            [jax.lax.psum(_ess(lw0), particle_axis)[None], esss]
+        )
+        lw_all = jax.lax.all_gather(lw, particle_axis).reshape(-1)
+        return log_ml, x, jax.nn.softmax(lw_all), filter_means, ess_history
+
+    k_particles, k_shared = jax.random.split(key)
+    particle_keys = jax.random.split(k_particles, num_particles)
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(particle_axis), P()),
+        out_specs=(P(), P(particle_axis), P(), P(), P()),
+        check_vma=False,
+    )
+    log_ml, x, w, means, ess = jax.jit(sharded)(particle_keys, k_shared)
+    return SMCResult(log_ml, x, w, means, ess)
+
+
 def sharded_particle_filter(
     ssm: StateSpace,
     ys: Array,
@@ -148,6 +252,7 @@ def sharded_particle_filter(
     indices from an all-gathered weight vector, then gathers the selected
     particle states.  All collectives are expressed with axis-name ops
     inside ``shard_map`` and lower to ICI collectives on a pod slice.
+    For a zero-state-exchange alternative see ``island_particle_filter``.
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
@@ -247,11 +352,26 @@ def smc_sample(
     mesh=None,
     particle_axis: str = "particle",
     ess_threshold: float = 0.5,
+    exchange: str = "global",
 ) -> SMCResult:
-    """User entry point: particle-filter an explicit StateSpace spec."""
+    """User entry point: particle-filter an explicit StateSpace spec.
+
+    exchange (sharded only):
+      * "global" — exact systematic resampling over ALL particles
+        (all-gather of states at resampling; highest fidelity).
+      * "island" — per-shard local resampling, islands combined by
+        weight (NO cross-device particle movement; scales to any pod
+        size at slightly higher estimator variance).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     if mesh is not None:
+        if exchange not in ("global", "island"):
+            raise ValueError(f"unknown exchange mode {exchange!r}")
+        if exchange == "island":
+            return island_particle_filter(
+                ssm, ys, num_particles, key, mesh, particle_axis, ess_threshold
+            )
         return sharded_particle_filter(
             ssm, ys, num_particles, key, mesh, particle_axis, ess_threshold
         )

@@ -174,6 +174,8 @@ def perform_inference(
     params_init: Optional[Dict[str, Any]] = None,
     mesh=None,
     batch_axis: str = "batch",
+    progress: bool = False,
+    progress_interval: int = 100,
 ) -> InferenceResult:
     """Run SVI / point estimation (reference entry point, SURVEY.md §3.4).
 
@@ -259,20 +261,32 @@ def perform_inference(
     tx = _resolve_optimizer(optimizer, lr)
     opt_state = tx.init(opt_params)
 
+    def _report(step_idx, loss):
+        print(f"[perform_inference] step {int(step_idx)}: loss {float(loss):.4f}",
+              flush=True)
+
     @jax.jit
     def run(opt_params, opt_state, key):
-        def step(carry, k):
+        def step(carry, xs):
             opt_params, opt_state = carry
+            k, i = xs
             loss, grads = jax.value_and_grad(
                 lambda p: loss_fn(p, k, number_samples)
             )(opt_params)
             updates, opt_state = tx.update(grads, opt_state, opt_params)
             opt_params = optax.apply_updates(opt_params, updates)
+            if progress:
+                jax.lax.cond(
+                    i % progress_interval == 0,
+                    lambda: jax.debug.callback(_report, i, loss),
+                    lambda: None,
+                )
             return (opt_params, opt_state), loss
 
         keys = jax.random.split(key, number_iterations)
+        steps = jnp.arange(number_iterations)
         (opt_params, opt_state), losses = jax.lax.scan(
-            step, (opt_params, opt_state), keys
+            step, (opt_params, opt_state), (keys, steps)
         )
         return opt_params, losses
 

@@ -24,7 +24,7 @@ __all__ = [
     "GammaVariable", "InverseGammaVariable", "ExponentialVariable",
     "Chi2Variable", "BetaVariable", "BernoulliVariable", "BinomialVariable",
     "PoissonVariable", "GeometricVariable", "CategoricalVariable",
-    "ConcreteVariable", "MultivariateNormalVariable", "DirichletVariable",
+    "ConcreteVariable", "MultivariateNormalVariable", "DirichletVariable", "MixtureVariable",
     "DeterministicVariable", "EmpiricalVariable", "RandomIndices",
 ]
 
@@ -165,3 +165,17 @@ def EmpiricalVariable(dataset, name=None, indices=None, batch_size=None):
 def RandomIndices(dataset_size, batch_size, name=None):
     """Minibatch index sampler (reference's RandomIndices, SURVEY.md §2)."""
     return RandomVariable(D.RandomIndices(dataset_size, batch_size), name=name, links={})
+
+
+def MixtureVariable(component_dist, probs=None, name=None, logits=None,
+                    plate_shape=(), log_prob_scale=1.0, observed=None,
+                    **component_params):
+    """Marginalized finite mixture (HMC/NUTS-compatible — no discrete
+    assignment latent).  Component params carry a leading K axis::
+
+        x = MixtureVariable(D.Normal(), probs=[0.3, 0.7],
+                            loc=mus, scale=sigs, name="x")
+    """
+    links = {"probs": probs, "logits": logits, **component_params}
+    return _rv(D.Mixture(component_dist), links, name, plate_shape,
+               log_prob_scale, observed)

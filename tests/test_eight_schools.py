@@ -1,0 +1,44 @@
+"""Hierarchical non-centered model (eight schools): posterior parity with
+the long-run Stan reference and a stuck-chain regression test for the
+uniform init strategy."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu import (
+    DeterministicVariable,
+    HalfCauchyVariable,
+    NormalVariable,
+    ProbabilisticModel,
+)
+from brancher_tpu.inference import NUTS, sample
+
+
+def build():
+    y_obs = np.asarray([28., 8., -3., 7., -1., 1., 18., 12.], np.float32)
+    sigma = np.asarray([15., 10., 16., 11., 9., 11., 10., 18.], np.float32)
+    mu = NormalVariable(0., 5., "mu")
+    tau = HalfCauchyVariable(5., "tau")
+    theta_raw = NormalVariable(np.zeros(8, np.float32), np.ones(8, np.float32),
+                               "theta_raw")
+    theta = DeterministicVariable(mu + tau * theta_raw, "theta")
+    y = NormalVariable(theta, sigma, "y")
+    y.observe(y_obs)
+    return ProbabilisticModel([y])
+
+
+def test_eight_schools_posterior(key):
+    model = build()
+    res = sample(model, kernel=NUTS(max_depth=9), num_samples=800,
+                 num_warmup=800, num_chains=16, key=key)
+    mu = res.samples["mu"]
+    tau = res.samples["tau"]
+    # Stan long-run reference: mu 4.4±3.3, tau 3.6±3.2
+    assert abs(float(jnp.mean(mu)) - 4.4) < 1.0
+    assert abs(float(jnp.mean(tau)) - 3.6) < 1.2
+    assert abs(float(jnp.std(tau)) - 3.2) < 2.0
+    # stuck-chain regression: no chain may sit at extreme tau the whole run
+    per_chain_tau = jnp.mean(tau, axis=1)
+    assert float(jnp.max(per_chain_tau)) < 20.0, np.asarray(per_chain_tau)
+    # divergence rate sane at target 0.8 for this geometry
+    assert int(res.diagnostics["num_divergences"]) < 0.02 * tau.size

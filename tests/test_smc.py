@@ -69,3 +69,19 @@ def test_lgssm_dsl_model_log_prob(key):
     for t in range(len(ys)):
         expect += nlp(ys[t], params.c * xs[t], params.r)
     np.testing.assert_allclose(lp, expect, rtol=1e-4)
+
+
+def test_island_particle_filter_matches_kalman(key):
+    """Zero-exchange island mode: unbiased log-ml, accurate filter means."""
+    from brancher_tpu.parallel import particle_mesh
+
+    params = LGSSMParams()
+    _, ys = make_lgssm_data(length=50, params=params, seed=4)
+    ll_exact, means_exact, _ = kalman_filter(ys, params)
+    res = smc_sample(
+        lgssm_state_space(params), jnp.asarray(ys), num_particles=4096,
+        key=key, mesh=particle_mesh(), exchange="island",
+    )
+    assert abs(float(res.log_marginal) - ll_exact) < 0.8
+    err = np.max(np.abs(np.asarray(res.filter_means) - means_exact))
+    assert err < 0.1, err
