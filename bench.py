@@ -130,6 +130,26 @@ def main():
     baseline_ess_per_sec = min_ess / baseline_time
     vs_baseline = ess_per_sec / baseline_ess_per_sec
 
+    # ---- secondary metric (stderr): ELBO steps/sec on the VAE config ----
+    try:
+        from brancher_tpu.models.vae import VAEConfig, make_vae_data, vae_model
+        from brancher_tpu.inference import perform_inference
+
+        vdata = make_vae_data(num_points=4096, obs_dim=64)
+        p_model, _ = vae_model(vdata, VAEConfig(latent_dim=8, hidden_dim=128,
+                                                batch_size=256))
+        n_steps = 500
+        perform_inference(p_model, number_iterations=1, number_samples=4,
+                          lr=1e-3, key=jax.random.PRNGKey(3))  # compile
+        t0 = time.time()
+        perform_inference(p_model, number_iterations=n_steps, number_samples=4,
+                          lr=1e-3, key=jax.random.PRNGKey(4))
+        elbo_sps = n_steps / (time.time() - t0)
+        log(f"secondary: VAE ELBO steps/sec = {elbo_sps:.0f} "
+            f"(B=256, obs=64, latent=8, S=4)")
+    except Exception as e:  # secondary metric must never break the bench
+        log(f"secondary ELBO metric failed: {e}")
+
     print(
         json.dumps(
             {

@@ -62,6 +62,21 @@ class MCMCResult:
         }
         return sample_dict_to_dataframe(flat)
 
+    def posterior_predictive(self, model, num_draws: int = 100,
+                             key: Optional[Array] = None) -> Dict[str, Array]:
+        """Sample observed variables conditioned on posterior draws
+        (thinned uniformly from all chains)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_idx, k_samp = jax.random.split(key)
+        flat = {
+            k: v.reshape((-1,) + v.shape[2:]) for k, v in self.samples.items()
+        }
+        total = next(iter(flat.values())).shape[0]
+        idx = jax.random.choice(k_idx, total, (num_draws,), replace=False)
+        given = {k: v[idx] for k, v in flat.items()}
+        return model.get_sample_dict(num_draws, key=k_samp, input_values=given)
+
     def posterior_mean(self) -> Dict[str, Array]:
         return {k: jnp.mean(v, axis=(0, 1)) for k, v in self.samples.items()}
 
