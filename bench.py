@@ -139,12 +139,14 @@ def main():
         p_model, _ = vae_model(vdata, VAEConfig(latent_dim=8, hidden_dim=128,
                                                 batch_size=256))
         n_steps = 500
-        perform_inference(p_model, number_iterations=1, number_samples=4,
-                          lr=1e-3, key=jax.random.PRNGKey(3))  # compile
-        t0 = time.time()
-        perform_inference(p_model, number_iterations=n_steps, number_samples=4,
-                          lr=1e-3, key=jax.random.PRNGKey(4))
-        elbo_sps = n_steps / (time.time() - t0)
+        perform_inference._benchmark = True
+        try:
+            perform_inference(p_model, number_iterations=n_steps,
+                              number_samples=4, lr=1e-3,
+                              key=jax.random.PRNGKey(3))
+            elbo_sps = n_steps / perform_inference._last_run_seconds
+        finally:
+            perform_inference._benchmark = False
         log(f"secondary: VAE ELBO steps/sec = {elbo_sps:.0f} "
             f"(B=256, obs=64, latent=8, S=4)")
     except Exception as e:  # secondary metric must never break the bench

@@ -290,7 +290,17 @@ def perform_inference(
         )
         return opt_params, losses
 
-    opt_params, losses = run(opt_params, opt_state, k_run)
+    import time as _time
+
+    opt_params_out, losses = run(opt_params, opt_state, k_run)
+    if getattr(perform_inference, "_benchmark", False):
+        # time a second execution of the SAME compiled program
+        jax.block_until_ready(losses)
+        t0 = _time.time()
+        opt_params_out, losses = run(opt_params, opt_state, k_run)
+        jax.block_until_ready(losses)
+        perform_inference._last_run_seconds = _time.time() - t0
+    opt_params = opt_params_out
 
     # reference behaviour: record the loss curve on the model
     joint_model.diagnostics["loss curve"] = np.asarray(losses)
