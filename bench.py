@@ -147,8 +147,46 @@ def main():
             elbo_sps = n_steps / perform_inference._last_run_seconds
         finally:
             perform_inference._benchmark = False
+        # reference-frame oracle: the SAME amortized VAE ELBO step in eager
+        # PyTorch on CPU (encoder/decoder MLPs, reparameterized sample,
+        # backward, Adam) — the reference's execution model (SURVEY.md §3.4)
+        tdata = torch.tensor(vdata)
+        enc_mu_t = torch.nn.Sequential(
+            torch.nn.Linear(64, 128), torch.nn.ReLU(), torch.nn.Linear(128, 8))
+        enc_ls_t = torch.nn.Sequential(
+            torch.nn.Linear(64, 128), torch.nn.ReLU(), torch.nn.Linear(128, 8))
+        dec_t = torch.nn.Sequential(
+            torch.nn.Linear(8, 128), torch.nn.ReLU(), torch.nn.Linear(128, 64))
+        opt_t = torch.optim.Adam(
+            list(enc_mu_t.parameters()) + list(enc_ls_t.parameters())
+            + list(dec_t.parameters()), lr=1e-3)
+
+        def torch_elbo_step():
+            idx = torch.randint(0, tdata.shape[0], (256,))
+            xb = tdata[idx]
+            mu_e = enc_mu_t(xb)
+            ls_e = torch.clamp(enc_ls_t(xb), -5, 3)
+            elbo = 0.0
+            for _ in range(4):  # S=4 MC samples, eager loop like the reference
+                zb = mu_e + torch.exp(ls_e) * torch.randn_like(mu_e)
+                logits = dec_t(zb)
+                ll = -torch.nn.functional.binary_cross_entropy_with_logits(
+                    logits, xb, reduction="sum")
+                lp_z = -0.5 * (zb * zb).sum()
+                lq_z = (-0.5 * ((zb - mu_e) / torch.exp(ls_e)) ** 2 - ls_e).sum()
+                elbo = elbo + (ll + lp_z - lq_z) / 4
+            loss = -elbo * (tdata.shape[0] / 256.0)
+            opt_t.zero_grad(); loss.backward(); opt_t.step()
+
+        for _ in range(3):
+            torch_elbo_step()
+        t0 = time.time()
+        for _ in range(30):
+            torch_elbo_step()
+        torch_sps = 30 / (time.time() - t0)
         log(f"secondary: VAE ELBO steps/sec = {elbo_sps:.0f} "
-            f"(B=256, obs=64, latent=8, S=4)")
+            f"(B=256, obs=64, latent=8, S=4); torch-eager-CPU oracle = "
+            f"{torch_sps:.0f} -> {elbo_sps / torch_sps:.1f}x")
     except Exception as e:  # secondary metric must never break the bench
         log(f"secondary ELBO metric failed: {e}")
 

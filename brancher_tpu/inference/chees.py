@@ -46,11 +46,12 @@ class ChEESHMC:
     """Kernel config for mcmc.sample(chain_method='vectorized')."""
 
     def __init__(self, target_accept: float = 0.8, init_trajectory_length: float = 1.0,
-                 max_leapfrog: int = 256, adam_lr: float = 0.025):
+                 max_leapfrog: int = 256, adam_lr: float = 0.025, mass: str = "diag"):
         self.target_accept = target_accept
         self.init_trajectory_length = init_trajectory_length
         self.max_leapfrog = max_leapfrog
         self.adam_lr = adam_lr
+        self.mass = mass
 
 
 def _halton(i: Array, base: int = 2) -> Array:
@@ -83,10 +84,37 @@ def chees_hmc(
     adam_lr: float = 0.025,
     axis_name=None,
     inv_mass0=None,
+    mass: str = "diag",
 ) -> ChEESResult:
-    """value_and_grad_fn: [C,d] -> ([C] log-post, [C,d] grad)."""
+    """value_and_grad_fn: [C,d] -> ([C] log-post, [C,d] grad).
+
+    mass: "diag" (default) or "dense" — dense adapts the FULL posterior
+    covariance as inverse mass (Sigma = cov(z)); momenta sample from
+    N(0, Sigma^{-1}) via a triangular solve and the leapfrog drift is a
+    [C,d]x[d,d] matmul (MXU) — the right metric for strongly correlated
+    posteriors (e.g. GP latents).
+    """
+    if mass not in ("diag", "dense"):
+        raise ValueError(f"unknown mass type {mass!r}")
+    diag = mass == "diag"
     c, d = z0.shape
     dtype = z0.dtype
+
+    def sample_momentum(k, inv_mass, chol):
+        eps_n = jax.random.normal(k, (c, d), dtype)
+        if diag:
+            return eps_n / jnp.sqrt(inv_mass)[None, :]
+        # Sigma = chol chol^T; r ~ N(0, Sigma^{-1}) => r = chol^{-T} eps
+        return jax.scipy.linalg.solve_triangular(chol.T, eps_n.T, lower=False).T
+
+    def velocity(r, inv_mass):
+        # v = Sigma r (the leapfrog drift direction)
+        if diag:
+            return r * inv_mass[None, :]
+        return r @ inv_mass
+
+    def kinetic(r, inv_mass):
+        return 0.5 * jnp.sum(r * velocity(r, inv_mass), -1)
 
     def gmean(x):
         m = jnp.mean(x)
@@ -96,10 +124,10 @@ def chees_hmc(
         m = jnp.mean(x, axis=0)
         return jax.lax.pmean(m, axis_name) if axis_name else m
 
-    def one_step(z, val, grad, eps, traj, inv_mass, k, step_idx):
+    def one_step(z, val, grad, eps, traj, inv_mass, chol, k, step_idx):
         k_mom, k_acc = jax.random.split(k, 2)
-        r0 = jax.random.normal(k_mom, (c, d), dtype) / jnp.sqrt(inv_mass)[None, :]
-        h0 = -val + 0.5 * jnp.sum(r0 * r0 * inv_mass[None, :], -1)
+        r0 = sample_momentum(k_mom, inv_mass, chol)
+        h0 = -val + kinetic(r0, inv_mass)
 
         # Halton-jittered trajectory length (shared across chains)
         u = _halton(step_idx)
@@ -111,13 +139,13 @@ def chees_hmc(
         def leap(i, carry):
             z, r, val, grad = carry
             r = r + 0.5 * eps * grad
-            z = z + eps * inv_mass[None, :] * r
+            z = z + eps * velocity(r, inv_mass)
             val, grad = value_and_grad_fn(z)
             r = r + 0.5 * eps * grad
             return (z, r, val, grad)
 
         z1, r1, val1, grad1 = jax.lax.fori_loop(0, n_steps, leap, (z, r0, val, grad))
-        h1 = -val1 + 0.5 * jnp.sum(r1 * r1 * inv_mass[None, :], -1)
+        h1 = -val1 + kinetic(r1, inv_mass)
         delta = jnp.where(jnp.isnan(h1), -jnp.inf, h0 - h1)
         accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
         accept = jax.random.uniform(k_acc, (c,)) < accept_prob
@@ -127,7 +155,7 @@ def chees_hmc(
         dz1 = z1 - m[None, :]
         dz0 = z - m[None, :]
         jump = jnp.sum(dz1 * dz1, -1) - jnp.sum(dz0 * dz0, -1)  # [C]
-        v1 = r1 * inv_mass[None, :]
+        v1 = velocity(r1, inv_mass)
         chees_grad_c = jump * jnp.sum(dz1 * v1, -1) * accept_prob
         chees_grad = gmean(chees_grad_c) * u  # d/d(log traj) via chain rule ~ * t ∝ u·traj
 
@@ -141,13 +169,13 @@ def chees_hmc(
     k_warm, k_samp = jax.random.split(key)
 
     def warmup_body(carry, xs):
-        (z, val, grad, da, s1, s2, n_acc, inv_mass,
+        (z, val, grad, da, s1, s2, n_acc, inv_mass, chol,
          log_traj, adam_m, adam_v, adam_t) = carry
         k, slow, w_end, idx = xs
         eps = jnp.exp(da.log_step)
         traj = jnp.exp(log_traj)
         z, val, grad, ap, chees_grad = one_step(
-            z, val, grad, eps, traj, inv_mass, k, idx
+            z, val, grad, eps, traj, inv_mass, chol, k, idx
         )
         da = da_update(da, gmean(ap), target_accept=target_accept)
 
@@ -163,30 +191,48 @@ def chees_hmc(
         log_traj = jnp.minimum(log_traj, jnp.log(eps * max_leapfrog))
 
         s1 = jnp.where(slow, s1 + jnp.sum(z, 0), s1)
-        s2 = jnp.where(slow, s2 + jnp.sum(z * z, 0), s2)
+        if diag:
+            s2 = jnp.where(slow, s2 + jnp.sum(z * z, 0), s2)
+        else:
+            s2 = jnp.where(slow, s2 + z.T @ z, s2)
         n_acc = jnp.where(slow, n_acc + c, n_acc)
         s1g = jax.lax.psum(s1, axis_name) if axis_name else s1
         s2g = jax.lax.psum(s2, axis_name) if axis_name else s2
         ng = jax.lax.psum(n_acc, axis_name) if axis_name else n_acc
         mean = s1g / jnp.maximum(ng, 1.0)
-        var = s2g / jnp.maximum(ng, 1.0) - mean * mean
-        var = (ng / (ng + 5.0)) * var + 1e-3 * (5.0 / (ng + 5.0))
-        inv_mass = jnp.where(w_end, var, inv_mass)
+        shrink = ng / (ng + 5.0)
+        if diag:
+            var = s2g / jnp.maximum(ng, 1.0) - mean * mean
+            var = shrink * var + 1e-3 * (1.0 - shrink)
+            inv_mass = jnp.where(w_end, var, inv_mass)
+        else:
+            cov = s2g / jnp.maximum(ng, 1.0) - jnp.outer(mean, mean)
+            cov = shrink * cov + 1e-3 * (1.0 - shrink) * jnp.eye(d, dtype=dtype)
+            new_chol = jnp.linalg.cholesky(cov)
+            inv_mass = jnp.where(w_end, cov, inv_mass)
+            chol = jnp.where(w_end, new_chol, chol)
         s1 = jnp.where(w_end, jnp.zeros_like(s1), s1)
         s2 = jnp.where(w_end, jnp.zeros_like(s2), s2)
         n_acc = jnp.where(w_end, jnp.zeros_like(n_acc), n_acc)
         da = jax.tree_util.tree_map(
             lambda a, b: jnp.where(w_end, a, b), da_restart(da), da
         )
-        return (z, val, grad, da, s1, s2, n_acc, inv_mass,
+        return (z, val, grad, da, s1, s2, n_acc, inv_mass, chol,
                 log_traj, adam_m, adam_v, adam_t), ap
 
     da = da_init(jnp.asarray(init_step_size, dtype))
-    inv_mass = jnp.ones((d,), dtype) if inv_mass0 is None else jnp.asarray(inv_mass0, dtype)
+    if inv_mass0 is not None:
+        inv_mass = jnp.asarray(inv_mass0, dtype)
+    elif diag:
+        inv_mass = jnp.ones((d,), dtype)
+    else:
+        inv_mass = jnp.eye(d, dtype=dtype)
+    chol = jnp.eye(d, dtype=dtype) if not diag else jnp.zeros((0,), dtype)
+    s2_init = jnp.zeros((d,), dtype) if diag else jnp.zeros((d, d), dtype)
     carry = (
         z0, val0, grad0, da,
-        jnp.zeros((d,), dtype), jnp.zeros((d,), dtype), jnp.zeros((), dtype),
-        inv_mass,
+        jnp.zeros((d,), dtype), s2_init, jnp.zeros((), dtype),
+        inv_mass, chol,
         jnp.log(jnp.asarray(init_trajectory_length, dtype)),
         jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype),
     )
@@ -197,7 +243,7 @@ def chees_hmc(
             warmup_body, carry,
             (keys, jnp.asarray(in_slow), jnp.asarray(window_end), idxs),
         )
-    (z, val, grad, da, _, _, _, inv_mass, log_traj, _, _, _) = carry
+    (z, val, grad, da, _, _, _, inv_mass, chol, log_traj, _, _, _) = carry
     eps_final = jnp.exp(da.log_step_avg) if num_warmup > 0 else jnp.asarray(init_step_size, dtype)
     traj_final = jnp.exp(log_traj)
 
@@ -205,7 +251,7 @@ def chees_hmc(
         z, val, grad = carry
         k, idx = xs
         z, val, grad, ap, _ = one_step(
-            z, val, grad, eps_final, traj_final, inv_mass, k, idx
+            z, val, grad, eps_final, traj_final, inv_mass, chol, k, idx
         )
         return (z, val, grad), (z, ap)
 

@@ -217,7 +217,7 @@ def _run_vectorized(
                 target_accept=target_accept, init_step_size=init_eps,
                 init_trajectory_length=kernel.init_trajectory_length,
                 max_leapfrog=kernel.max_leapfrog, adam_lr=kernel.adam_lr,
-                axis_name=axis_name, inv_mass0=inv_mass0,
+                axis_name=axis_name, inv_mass0=inv_mass0, mass=kernel.mass,
             )
             stats = {
                 "accept_prob": res.accept_prob,

@@ -41,3 +41,21 @@ def test_chees_requires_vectorized():
     with pytest.raises(ValueError):
         sample(model, kernel=ChEESHMC(), num_samples=5, num_warmup=5,
                num_chains=2, chain_method="vmap")
+
+
+def test_chees_dense_mass_correlated_target(key):
+    """rho=0.95 correlated Gaussian: dense mass recovers the covariance."""
+    rho = 0.95
+    cov = jnp.asarray([[1.0, rho], [rho, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def vg(z):
+        return -0.5 * jnp.einsum("cd,de,ce->c", z, prec, z), -z @ prec
+
+    z0 = 0.1 * jax.random.normal(key, (64, 2))
+    res = jax.jit(lambda k: chees_hmc(vg, z0, 600, 600, k, mass="dense"))(
+        jax.random.PRNGKey(3)
+    )
+    emp = np.cov(np.asarray(res.samples.reshape(-1, 2)).T)
+    np.testing.assert_allclose(emp, np.asarray(cov), atol=0.12)
+    assert float(jnp.mean(res.accept_prob)) > 0.6
