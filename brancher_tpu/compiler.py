@@ -20,7 +20,6 @@ engines, never hand-broadcast (SURVEY.md §7 build plan step 1).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -29,10 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.scipy import special as jsp
-
-from .utilities import to_array
 
 Array = jax.Array
 

@@ -23,11 +23,10 @@ ride ICI when chains shard over a mesh.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .adaptation import build_warmup_schedule, da_init, da_restart, da_update
 

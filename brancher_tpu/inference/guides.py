@@ -17,7 +17,7 @@ Guide protocol (consumed by the ELBO engine):
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.flatten_util

@@ -14,8 +14,7 @@ is the rebuild's MCMC entry point.  TPU-first structure:
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.flatten_util
@@ -33,7 +32,7 @@ from .adaptation import (
     welford_update,
     welford_variance,
 )
-from .hmc import ChainState, init_chain_state
+from .hmc import init_chain_state
 
 Array = jax.Array
 
@@ -418,7 +417,7 @@ def sample(
         )
         zs, stats, info = runner(chain_keys, z0)
     elif chain_method == "shard_map":
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
         n_dev = mesh.shape[chain_axis]

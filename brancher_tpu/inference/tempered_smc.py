@@ -16,12 +16,11 @@ telescope), and the temperature ladder actually used.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
-import numpy as np
 
 from .smc import systematic_resample_indices
 

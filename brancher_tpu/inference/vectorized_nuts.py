@@ -25,11 +25,10 @@ sharded) and a shared diagonal mass from cross-chain moments.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .adaptation import build_warmup_schedule, da_init, da_restart, da_update
 

@@ -7,7 +7,6 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
-import brancher_tpu.functions as BF
 from ..standard_variables import LogNormalVariable, NormalVariable
 from ..stochastic_processes import ARProcess
 from ..variables import ProbabilisticModel

@@ -21,7 +21,7 @@ from ..standard_variables import (
     NormalVariable,
     RandomIndices,
 )
-from ..variables import DeterministicVariable, ProbabilisticModel
+from ..variables import ProbabilisticModel
 
 
 def make_logreg_data(

@@ -7,7 +7,7 @@ Kalman filter — the gold-standard oracle for SMC (SURVEY.md §4.2).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 

@@ -11,11 +11,10 @@ axis (see dryrun_multichip).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from .. import functions as BF

@@ -14,11 +14,10 @@ sharded with shard_map).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..inference.adaptation import build_warmup_schedule, da_init, da_restart, da_update
 

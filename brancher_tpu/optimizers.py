@@ -12,7 +12,7 @@ this wrapper exists for users who drive custom loops.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 

@@ -10,7 +10,7 @@ within a slice and DCN across slices.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

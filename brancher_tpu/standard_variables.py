@@ -12,10 +12,8 @@ executes until compilation.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
-
 from . import distributions as D
-from .variables import DeterministicVariable, RandomVariable
+from .variables import DeterministicVariable, RandomVariable  # noqa: F401 (re-export)
 
 __all__ = [
     "NormalVariable", "LogNormalVariable", "HalfNormalVariable",

@@ -14,7 +14,7 @@ in the hot NUTS path).  T=1e5+ compiles O(1).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
