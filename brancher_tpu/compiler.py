@@ -34,18 +34,10 @@ from .variables import (
     ProbabilisticModel,
     RandomVariable,
     Variable,
+    full_deps as _full_deps,
 )
 
 Array = jax.Array
-
-
-def _full_deps(v: Variable) -> Tuple[Variable, ...]:
-    """Parents plus observation-link variables (data-loader pattern)."""
-    deps = list(v.parents)
-    obs = getattr(v, "_observed", None)
-    if isinstance(obs, PartialLink):
-        deps.extend(obs.vars)
-    return tuple(deps)
 
 
 def _toposort(roots: Sequence[Variable]) -> List[Variable]:

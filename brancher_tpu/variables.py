@@ -335,10 +335,26 @@ class DeterministicVariable(Variable):
         return self.value
 
 
+def full_deps(v: Variable) -> Tuple[Variable, ...]:
+    """Parents plus observation-link variables (data-loader pattern).
+
+    Observing ``y`` with an expression over other variables (e.g. an
+    EmpiricalVariable minibatch) makes those variables real dependencies:
+    they must appear in the model, in topological order, and in the
+    compile-cache version key.
+    """
+    deps = list(v.parents)
+    obs = getattr(v, "_observed", None)
+    if isinstance(obs, PartialLink):
+        deps.extend(obs.vars)
+    return tuple(deps)
+
+
 def _ancestral_closure(roots: Sequence[Variable]) -> List[Variable]:
     """Topologically ordered ancestral closure (parents before children).
 
-    Deterministic: DFS following parent lists in declaration order, output
+    Deterministic: DFS following dependency lists (parents + observation
+    links, matching the compiler's traversal) in declaration order, output
     in post-order.  This order is frozen into compiled closures.
     """
     order: List[Variable] = []
@@ -351,7 +367,7 @@ def _ancestral_closure(roots: Sequence[Variable]) -> List[Variable]:
         if s == 0:
             raise ValueError(f"cycle detected through variable {v.name!r}")
         state[id(v)] = 0
-        for p in v.parents:
+        for p in full_deps(v):
             visit(p)
         state[id(v)] = 1
         order.append(v)
@@ -405,6 +421,11 @@ class ProbabilisticModel:
                 return v
         raise KeyError(name)
 
+    def _refresh_structure(self) -> None:
+        """Recompute the ancestral closure (observation links may have
+        introduced new dependencies, e.g. a data-loader variable)."""
+        self.variables = _ancestral_closure(self.output_variables)
+
     def _version_key(self) -> Tuple:
         return tuple((v.name, v.version) for v in self.variables)
 
@@ -412,6 +433,7 @@ class ProbabilisticModel:
     def compiled(self, **kwargs):
         from .compiler import compile_model  # local import avoids cycle
 
+        self._refresh_structure()
         key = (self._version_key(), tuple(sorted(kwargs.items())))
         if key not in self._compiled_cache:
             self._compiled_cache.clear()  # only latest version is useful
@@ -424,6 +446,7 @@ class ProbabilisticModel:
         for k, v in data.items():
             var = k if isinstance(k, Variable) else self.get_variable(k)
             var.observe(v)
+        self._refresh_structure()
 
     def unobserve_all(self) -> None:
         for v in self.variables:

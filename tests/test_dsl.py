@@ -188,3 +188,38 @@ def test_posterior_model_by_name(key):
     post = p.get_posterior_sample_dict(6, key=key)
     assert post["mu"].shape == (6,)
     assert abs(float(jnp.mean(post["mu"])) - 0.8) < 0.2
+
+
+def test_observation_link_closure(key):
+    """Regression (VERDICT r1 weak #3): variables reached only through an
+    observation link (the data-loader pattern) must be part of the model —
+    visible via get_variable, counted in the ancestral closure, and
+    version-tracked so re-observation invalidates the compile cache."""
+    from brancher_tpu import EmpiricalVariable, RandomIndices
+
+    data_a = jnp.arange(12.0).reshape(6, 2)
+    idx = RandomIndices(6, 3, "idx")
+    xb = EmpiricalVariable(data_a, name="xb", indices=idx)
+    x = NormalVariable(jnp.zeros((3, 2)), jnp.ones((3, 2)), "x")
+    x.observe(xb)
+    model = ProbabilisticModel([x])
+
+    # data-loader variables appear in the model
+    assert model.get_variable("xb") is xb
+    names = [v.name for v in model.variables]
+    assert "xb" in names and "idx" in names
+    assert {v.name for v in model.observed_variables} == {"x"}
+
+    comp_a = model.compiled()
+    # swapping the dataset (re-observe with a fresh loader) must refresh
+    # the compiled closure — the old cache entry is stale
+    data_b = -jnp.arange(12.0).reshape(6, 2)
+    idx2 = RandomIndices(6, 3, "idx")
+    xb2 = EmpiricalVariable(data_b, name="xb", indices=idx2)
+    model.observe({"x": xb2})
+    assert model.get_variable("xb") is xb2
+    comp_b = model.compiled()
+    assert comp_b is not comp_a
+
+    s = model.get_sample_dict(4, key=key)
+    assert jnp.all(s["xb"] <= 0.0)
