@@ -39,6 +39,8 @@ class ChEESResult(NamedTuple):
     step_size: Array
     trajectory_length: Array
     inv_mass: Array
+    num_leapfrog: Array  # [S] shared leapfrog steps per draw
+    warmup_leapfrog: Array  # scalar: total leapfrog steps during warmup
 
 
 class ChEESHMC:
@@ -190,7 +192,7 @@ def chees_hmc(
         z = jnp.where(accept[:, None], z1, z)
         val = jnp.where(accept, val1, val)
         grad = jnp.where(accept[:, None], grad1, grad)
-        return z, val, grad, accept_prob, chees_grad
+        return z, val, grad, accept_prob, chees_grad, n_steps
 
     val0, grad0 = value_and_grad_fn(z0)
     in_slow, window_end = build_warmup_schedule(num_warmup)
@@ -198,11 +200,11 @@ def chees_hmc(
 
     def warmup_body(carry, xs):
         (z, val, grad, da, s1, s2, n_acc, inv_mass, chol,
-         log_traj, adam_m, adam_v, adam_t) = carry
+         log_traj, adam_m, adam_v, adam_t, lf_total) = carry
         k, slow, w_end, idx = xs
         eps = jnp.exp(da.log_step)
         traj = jnp.exp(log_traj)
-        z, val, grad, ap, chees_grad = one_step(
+        z, val, grad, ap, chees_grad, n_steps = one_step(
             z, val, grad, eps, traj, inv_mass, chol, k, idx
         )
         da = da_update(da, gmean(ap), target_accept=target_accept)
@@ -246,7 +248,7 @@ def chees_hmc(
             lambda a, b: jnp.where(w_end, a, b), da_restart(da), da
         )
         return (z, val, grad, da, s1, s2, n_acc, inv_mass, chol,
-                log_traj, adam_m, adam_v, adam_t), ap
+                log_traj, adam_m, adam_v, adam_t, lf_total + n_steps), ap
 
     da = da_init(jnp.asarray(init_step_size, dtype))
     if inv_mass0 is not None:
@@ -263,6 +265,7 @@ def chees_hmc(
         inv_mass, chol,
         jnp.log(jnp.asarray(init_trajectory_length, dtype)),
         jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype),
+        jnp.zeros((), jnp.int32),
     )
     if num_warmup > 0:
         keys = jax.random.split(k_warm, num_warmup)
@@ -271,25 +274,29 @@ def chees_hmc(
             warmup_body, carry,
             (keys, jnp.asarray(in_slow), jnp.asarray(window_end), idxs),
         )
-    (z, val, grad, da, _, _, _, inv_mass, chol, log_traj, _, _, _) = carry
+    (z, val, grad, da, _, _, _, inv_mass, chol, log_traj, _, _, _,
+     warmup_leapfrog) = carry
     eps_final = jnp.exp(da.log_step_avg) if num_warmup > 0 else jnp.asarray(init_step_size, dtype)
     traj_final = jnp.exp(log_traj)
 
     def sample_body(carry, xs):
         z, val, grad = carry
         k, idx = xs
-        z, val, grad, ap, _ = one_step(
+        z, val, grad, ap, _, n_steps = one_step(
             z, val, grad, eps_final, traj_final, inv_mass, chol, k, idx
         )
-        return (z, val, grad), (z, ap)
+        return (z, val, grad), (z, ap, n_steps)
 
     keys = jax.random.split(k_samp, num_samples)
     idxs = jnp.arange(num_samples, dtype=jnp.int32) + num_warmup
-    _, (zs, aps) = jax.lax.scan(sample_body, (z, val, grad), (keys, idxs))
+    _, (zs, aps, n_steps_draws) = jax.lax.scan(
+        sample_body, (z, val, grad), (keys, idxs))
     return ChEESResult(
         samples=jnp.swapaxes(zs, 0, 1),
         accept_prob=jnp.swapaxes(aps, 0, 1),
         step_size=eps_final,
         trajectory_length=traj_final,
         inv_mass=inv_mass,
+        num_leapfrog=n_steps_draws,
+        warmup_leapfrog=warmup_leapfrog,
     )

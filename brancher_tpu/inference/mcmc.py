@@ -210,6 +210,15 @@ def _run_vectorized(
     init_eps = min(init_step_size, 0.5) if num_warmup > 0 else init_step_size
 
     def run(z0_shard, key_shard, axis_name):
+        samples, stats, info = _run_inner(z0_shard, key_shard, axis_name)
+        if axis_name and "warmup_leapfrog" in info:
+            # per-shard loop counts differ; replicate as the cross-shard mean
+            info["warmup_leapfrog"] = jax.lax.pmean(
+                info["warmup_leapfrog"].astype(jnp.float32), axis_name
+            )
+        return samples, stats, info
+
+    def _run_inner(z0_shard, key_shard, axis_name):
         if isinstance(kernel, ChEESHMC):
             res = chees_hmc(
                 value_and_grad_fn, z0_shard, num_warmup, num_samples, key_shard,
@@ -221,10 +230,13 @@ def _run_vectorized(
             stats = {
                 "accept_prob": res.accept_prob,
                 "diverging": jnp.zeros_like(res.accept_prob, dtype=bool),
-                "num_steps": jnp.full(res.accept_prob.shape, 0, jnp.int32),
+                "num_steps": jnp.broadcast_to(
+                    res.num_leapfrog[None, :], res.accept_prob.shape
+                ),
             }
             info = {"step_size": res.step_size, "inv_mass": res.inv_mass,
-                    "trajectory_length": res.trajectory_length}
+                    "trajectory_length": res.trajectory_length,
+                    "warmup_leapfrog": res.warmup_leapfrog}
             return res.samples, stats, info
         if isinstance(kernel, HMC):
             res = hmc_batched(
@@ -261,7 +273,8 @@ def _run_vectorized(
                 res.num_leapfrog[None, :], res.accept_prob.shape
             ),
         }
-        info = {"step_size": res.step_size, "inv_mass": res.inv_mass}
+        info = {"step_size": res.step_size, "inv_mass": res.inv_mass,
+                "warmup_leapfrog": res.warmup_leapfrog}
         return res.samples, stats, info
 
     if mesh is None:
@@ -405,6 +418,9 @@ def sample(
 
     if chain_method not in ("vectorized", "vmap", "shard_map"):
         raise ValueError(f"unknown chain_method {chain_method!r}")
+    import time as _time
+
+    _t_engine = _time.time()
     if chain_method == "vectorized":
         zs, stats, info = _run_vectorized(
             kernel, potential_fn, value_and_grad_fn, z0, num_warmup,
@@ -448,6 +464,9 @@ def sample(
     else:
         raise ValueError(f"unknown chain_method {chain_method!r}")
 
+    jax.block_until_ready(zs)
+    _sampler_seconds = _time.time() - _t_engine
+
     # -- constrain + collect -----------------------------------------------
     names_out = list(comp.continuous_latent_names)
     if collect_deterministic:
@@ -476,7 +495,13 @@ def sample(
         "mean_accept_prob": jnp.mean(stats["accept_prob"]),
         "step_size": info["step_size"],
         "inv_mass": info["inv_mass"],
+        # wall time of the sampler program itself (includes compile on the
+        # first call; excludes constrain/diagnostics post-processing)
+        "sampler_seconds": _sampler_seconds,
     }
+    for extra in ("trajectory_length", "warmup_leapfrog"):
+        if extra in info:
+            diagnostics[extra] = info[extra]
     ess = {}
     rhat = {}
     for n in comp.continuous_latent_names:

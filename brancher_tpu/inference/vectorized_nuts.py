@@ -52,6 +52,7 @@ class VectorizedNUTSResult(NamedTuple):
     num_leapfrog: Array  # [S] (shared per draw: loop iterations executed)
     step_size: Array
     inv_mass: Array
+    warmup_leapfrog: Array  # scalar: loop iterations during warmup
 
 
 def _ke(r: Array, inv_mass: Array) -> Array:
@@ -307,10 +308,11 @@ def nuts_batched(
         )
 
     def warmup_body(carry, xs):
-        z, val, grad, da, s1, s2, n_acc, inv_mass = carry
+        z, val, grad, da, s1, s2, n_acc, inv_mass, lf_total = carry
         k, slow, w_end = xs
         eps = jnp.exp(da.log_step)
-        z, val, grad, ap, dvg, _ = transition(z, val, grad, eps, inv_mass, k)
+        z, val, grad, ap, dvg, n_lf = transition(z, val, grad, eps, inv_mass, k)
+        lf_total = lf_total + n_lf
         da = da_update(da, _gmean(ap, axis_name), target_accept=target_accept)
         s1 = jnp.where(slow, s1 + jnp.sum(z, axis=0), s1)
         s2 = jnp.where(slow, s2 + jnp.sum(z * z, axis=0), s2)
@@ -327,19 +329,19 @@ def nuts_batched(
         da = jax.tree_util.tree_map(
             lambda a, b: jnp.where(w_end, a, b), da_restart(da), da
         )
-        return (z, val, grad, da, s1, s2, n_acc, inv_mass), None
+        return (z, val, grad, da, s1, s2, n_acc, inv_mass, lf_total), None
 
     da = da_init(jnp.asarray(init_step_size, dtype))
     inv_mass = jnp.ones((d,), dtype) if inv_mass0 is None else jnp.asarray(inv_mass0, dtype)
     carry = (z0, val0, grad0, da, jnp.zeros((d,), dtype), jnp.zeros((d,), dtype),
-             jnp.zeros((), dtype), inv_mass)
+             jnp.zeros((), dtype), inv_mass, jnp.zeros((), jnp.int32))
     if num_warmup > 0:
         keys = jax.random.split(k_warm, num_warmup)
         carry, _ = jax.lax.scan(
             warmup_body, carry,
             (keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
         )
-    z, val, grad, da, _, _, _, inv_mass = carry
+    z, val, grad, da, _, _, _, inv_mass, warmup_leapfrog = carry
     eps_final = (
         jnp.exp(da.log_step_avg) if num_warmup > 0
         else jnp.asarray(init_step_size, dtype)
@@ -359,4 +361,5 @@ def nuts_batched(
         num_leapfrog=n_leaps,
         step_size=eps_final,
         inv_mass=inv_mass,
+        warmup_leapfrog=warmup_leapfrog,
     )
