@@ -342,6 +342,35 @@ class CompiledModel:
             lp_prior = lp_prior + self._rv_log_prob(v, x, p) + ld
         return lp_prior, lp_lik
 
+    def eval_observed_params(
+        self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None
+    ) -> Dict[str, Dict[str, Array]]:
+        """Distribution parameters of each OBSERVED RV evaluated at latent z
+        (unconstrained).  Powers the fused-potential pattern recognizer
+        (ops/pallas_glm.py), which probes these as functions of z."""
+        store = self._as_store(params)
+        given = given or {}
+        values: Dict[str, Array] = {}
+        out: Dict[str, Dict[str, Array]] = {}
+        for v in self.order:
+            if isinstance(v, DeterministicVariable):
+                values[v.name] = v.compute(values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(values, store))
+            if v.name in given:
+                values[v.name] = given[v.name]
+                continue
+            if v.is_observed:
+                values[v.name] = self._observed_value(v, values, store)
+                out[v.name] = p
+                continue
+            if v.distribution.is_discrete:
+                raise ValueError(f"discrete latent {v.name!r} must be given")
+            tr = transform_for(v.distribution, p)
+            values[v.name] = tr.forward(z[v.name])
+        return out
+
     def constrain(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
         values, _ = self._walk_z(self._as_store(params), z, given or {})
         return values

@@ -12,6 +12,7 @@ from .svi import (
     ReverseKL,
     MaximumLikelihood,
     MAP,
+    SteinVariationalGradientDescent,
     WassersteinVariationalGradientDescent,
 )
 from .gradient_estimators import (

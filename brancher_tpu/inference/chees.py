@@ -121,6 +121,7 @@ def chees_hmc(
     axis_name=None,
     inv_mass0=None,
     mass: str = "diag",
+    leapfrog_fn=None,
 ) -> ChEESResult:
     """value_and_grad_fn: [C,d] -> ([C] log-post, [C,d] grad).
 
@@ -133,6 +134,8 @@ def chees_hmc(
     if mass not in ("diag", "dense"):
         raise ValueError(f"unknown mass type {mass!r}")
     diag = mass == "diag"
+    if leapfrog_fn is not None and not diag:
+        leapfrog_fn = None  # fused integrator supports diagonal mass only
     c, d = z0.shape
     dtype = z0.dtype
 
@@ -168,15 +171,19 @@ def chees_hmc(
             jnp.ceil(t_jit / eps).astype(jnp.int32), 1, max_leapfrog
         )
 
-        def leap(i, carry):
-            z, r, val, grad = carry
-            r = r + 0.5 * eps * grad
-            z = z + eps * velocity(r, inv_mass)
-            val, grad = value_and_grad_fn(z)
-            r = r + 0.5 * eps * grad
-            return (z, r, val, grad)
+        if leapfrog_fn is not None:
+            z1, r1, val1, grad1 = leapfrog_fn(z, r0, grad, eps, inv_mass, n_steps)
+        else:
+            def leap(i, carry):
+                z, r, val, grad = carry
+                r = r + 0.5 * eps * grad
+                z = z + eps * velocity(r, inv_mass)
+                val, grad = value_and_grad_fn(z)
+                r = r + 0.5 * eps * grad
+                return (z, r, val, grad)
 
-        z1, r1, val1, grad1 = jax.lax.fori_loop(0, n_steps, leap, (z, r0, val, grad))
+            z1, r1, val1, grad1 = jax.lax.fori_loop(
+                0, n_steps, leap, (z, r0, val, grad))
         h1 = -val1 + kinetic(r1, inv_mass)
         delta = jnp.where(jnp.isnan(h1), -jnp.inf, h0 - h1)
         accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))

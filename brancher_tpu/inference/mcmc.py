@@ -195,6 +195,7 @@ def _run_vectorized(
     mesh,
     chain_axis,
     inv_mass0=None,
+    leapfrog_fn=None,
 ):
     """Dispatch to the chain-batched engines (vectorized NUTS / HMC / ChEES)."""
     from .nuts import NUTS
@@ -226,6 +227,7 @@ def _run_vectorized(
                 init_trajectory_length=kernel.init_trajectory_length,
                 max_leapfrog=kernel.max_leapfrog, adam_lr=kernel.adam_lr,
                 axis_name=axis_name, inv_mass0=inv_mass0, mass=kernel.mass,
+                leapfrog_fn=leapfrog_fn,
             )
             stats = {
                 "accept_prob": res.accept_prob,
@@ -244,7 +246,7 @@ def _run_vectorized(
                 num_integration_steps=kernel.num_integration_steps,
                 target_accept=target_accept, init_step_size=init_eps,
                 jitter_steps=kernel.jitter_steps, axis_name=axis_name,
-                inv_mass0=inv_mass0,
+                inv_mass0=inv_mass0, leapfrog_fn=leapfrog_fn,
             )
             c = z0_shard.shape[0]
             stats = {
@@ -323,6 +325,7 @@ def sample(
     chain_axis: str = "chain",
     collect_deterministic: bool = True,
     value_and_grad_fn=None,
+    fused_potential: str = "auto",
     resume_state: Optional[Dict[str, Array]] = None,
     init_strategy: str = "uniform",
 ) -> MCMCResult:
@@ -341,6 +344,12 @@ def sample(
     value_and_grad_fn: optional batched fused (log-posterior, grad)
     evaluator [C,d] -> ([C],[C,d]) (e.g. the Pallas logreg kernel); used
     only by the vectorized path; defaults to vmap(value_and_grad).
+
+    fused_potential: "auto" (default) probes the compiled model for a
+    dense-GLM structure (ops/pallas_glm.py) and, when it matches and
+    self-checks against the autodiff density, uses the fused Pallas
+    value+grad kernel instead of vmapped autodiff.  "off" disables the
+    probe.  Ignored when value_and_grad_fn is given.
     """
     from .nuts import NUTS
 
@@ -357,6 +366,24 @@ def sample(
     if params is None:
         params = comp.initial_params
     potential_fn, unravel, _ = make_potential(comp, params, given)
+
+    # -- fused-potential auto-upgrade (cached per compiled model) ----------
+    leapfrog_fn = None
+    if (
+        value_and_grad_fn is None
+        and chain_method == "vectorized"
+        and fused_potential == "auto"
+        and params is comp.initial_params
+        and not given
+    ):
+        if not hasattr(comp, "_fused_family_cache"):
+            from ..ops.pallas_glm import recognize_fused_family
+
+            comp._fused_family_cache = recognize_fused_family(comp, params)
+        fam = comp._fused_family_cache
+        if fam is not None:
+            value_and_grad_fn = fam.value_and_grad()
+            leapfrog_fn = fam.leapfrog()
     if hasattr(kernel, "make_step"):
         kernel_step = kernel.make_step(potential_fn)
     elif chain_method != "vectorized":
@@ -425,7 +452,7 @@ def sample(
         zs, stats, info = _run_vectorized(
             kernel, potential_fn, value_and_grad_fn, z0, num_warmup,
             num_samples, k_run, target_accept, init_step_size, mesh,
-            chain_axis, inv_mass0=inv_mass0,
+            chain_axis, inv_mass0=inv_mass0, leapfrog_fn=leapfrog_fn,
         )
     elif chain_method == "vmap" or mesh is None:
         runner = jax.jit(

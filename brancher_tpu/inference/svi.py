@@ -139,10 +139,24 @@ class MAP(InferenceMethod):
 
 
 class WassersteinVariationalGradientDescent(InferenceMethod):
-    """Particle-based variational method (reference's WVGD capability;
-    SURVEY.md §2 "Particle tools").  Dispatches to the particle engine in
-    ``particle_inference_tools`` — see that module for the TPU-side
-    algorithm notes."""
+    """Wasserstein VGD proper (reference's WVGD capability; SURVEY.md §2
+    "Particle tools"): semi-discrete optimal-transport particle descent
+    of W2(posterior, ensemble) with Laguerre-cell dual ascent.  See
+    ``particle_inference_tools.run_wvgd`` for the algorithm."""
+
+    def __init__(self, number_particles: int = 50, number_samples: int = 512,
+                 proposal_scale: float = 1.0, psi_lr: float = 1.0,
+                 step_size: float = 0.5):
+        self.number_particles = number_particles
+        self.number_samples = number_samples
+        self.proposal_scale = proposal_scale
+        self.psi_lr = psi_lr
+        self.step_size = step_size
+
+
+class SteinVariationalGradientDescent(InferenceMethod):
+    """Kernelized particle flow (SVGD update rule) — the round-1 particle
+    engine, kept as its own method (distinct from true WVGD)."""
 
     def __init__(self, number_particles: int = 50, kernel_bandwidth: Optional[float] = None):
         self.number_particles = number_particles
@@ -202,6 +216,19 @@ def perform_inference(
         from .particle_inference_tools import run_wvgd
 
         return run_wvgd(
+            joint_model,
+            number_iterations=number_iterations,
+            number_particles=inference_method.number_particles,
+            lr=inference_method.step_size,
+            key=key,
+            number_samples=inference_method.number_samples,
+            proposal_scale=inference_method.proposal_scale,
+            psi_lr=inference_method.psi_lr,
+        )
+    if isinstance(inference_method, SteinVariationalGradientDescent):
+        from .particle_inference_tools import run_svgd
+
+        return run_svgd(
             joint_model,
             number_iterations=number_iterations,
             number_particles=inference_method.number_particles,

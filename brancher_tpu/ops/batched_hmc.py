@@ -43,23 +43,33 @@ def hmc_batched(
     jitter_steps: bool = True,
     axis_name=None,
     inv_mass0=None,
+    leapfrog_fn=None,
 ) -> BatchedHMCResult:
-    """value_and_grad_fn: w [C,d] -> (logpost [C], grad [C,d])."""
+    """value_and_grad_fn: w [C,d] -> (logpost [C], grad [C,d]).
+
+    leapfrog_fn: optional fused multi-step integrator with signature
+    (z, r, grad, eps, inv_mass, n_steps) -> (z1, r1, val1, grad1), e.g.
+    the Pallas fused leapfrog (ops/pallas_leapfrog.py) that keeps the
+    whole trajectory VMEM-resident in ONE kernel launch.
+    """
     c, d = z0.shape
     dtype = z0.dtype
     ln = num_integration_steps
 
-    def leapfrog(z, r, grad, eps, inv_mass, n_steps):
-        def body(i, carry):
-            z, r, val, grad = carry
-            r = r + 0.5 * eps * grad  # NOTE: +grad of LOG posterior
-            z = z + eps * inv_mass[None, :] * r
-            val, grad = value_and_grad_fn(z)
-            r = r + 0.5 * eps * grad
-            return (z, r, val, grad)
+    if leapfrog_fn is not None:
+        leapfrog = leapfrog_fn
+    else:
+        def leapfrog(z, r, grad, eps, inv_mass, n_steps):
+            def body(i, carry):
+                z, r, val, grad = carry
+                r = r + 0.5 * eps * grad  # NOTE: +grad of LOG posterior
+                z = z + eps * inv_mass[None, :] * r
+                val, grad = value_and_grad_fn(z)
+                r = r + 0.5 * eps * grad
+                return (z, r, val, grad)
 
-        val0 = jnp.zeros((c,), dtype)
-        return jax.lax.fori_loop(0, n_steps, body, (z, r, val0, grad))
+            val0 = jnp.zeros((c,), dtype)
+            return jax.lax.fori_loop(0, n_steps, body, (z, r, val0, grad))
 
     def one_step(z, val, grad, eps, inv_mass, k):
         k_mom, k_acc, k_len = jax.random.split(k, 3)

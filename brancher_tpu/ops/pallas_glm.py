@@ -1,0 +1,530 @@
+"""Generalized fused GLM potentials: Pallas value+grad kernels + a
+numeric pattern recognizer that upgrades ANY eligible model automatically.
+
+Round-1 shipped one benchmark-shaped kernel (ops/pallas_logreg.py:
+Gaussian-prior logistic regression, X VMEM-whole).  This module is the
+generalization (VERDICT r1 "Next round" #3):
+
+  * two families covering the reference model zoo's dense likelihoods —
+      - ``bernoulli_logit``  y_n ~ Bernoulli(sigmoid(x_n·z + b_n))
+      - ``normal_learned``   y_n ~ N(x_n·z + b_n, exp(u·z + c0))
+        (learned log-noise: AR(p) over (coeffs, log sigma) is exactly
+        this family with the lagged series as design matrix)
+  * N-tiling: the design matrix streams through VMEM in row blocks via a
+    (chain-block, row-block) grid with in-VMEM accumulation, so the
+    dataset is NOT bounded by VMEM (the r1 kernel required [N,d] whole);
+  * a RECOGNIZER (``recognize_fused_potential``) that, at sample() time,
+    numerically probes the compiled model: verifies the z-space prior is
+    diagonal-Gaussian, extracts the affine design of the observed
+    likelihood's parameters, and self-checks the assembled fused
+    potential against the autodiff log-density at random points before
+    trusting it.  Any model that matches gets the fused MXU path with no
+    user opt-in; everything else silently keeps vmapped autodiff.
+
+The probes are exact, not heuristic: affinity is verified at a random
+point and the final self-check compares values (up to a constant) AND
+gradients, so a false positive cannot corrupt inference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ======================================================================
+# Pure-JAX reference implementations (CPU path + ground truth in tests)
+# ======================================================================
+
+def bernoulli_vg_reference(
+    z: Array, x: Array, y: Array, b: Array,
+    prior_mean: Array, prior_inv_var: Array, ll_scale: float = 1.0,
+) -> Tuple[Array, Array]:
+    """z [C,D] -> (val [C], grad [C,D]).  logits = z@x.T + b."""
+    logits = z @ x.T + b[None, :]
+    ll = jnp.sum(y[None, :] * logits - jax.nn.softplus(logits), axis=-1)
+    dz = z - prior_mean[None, :]
+    val = ll_scale * ll - 0.5 * jnp.sum(dz * dz * prior_inv_var[None, :], -1)
+    resid = y[None, :] - jax.nn.sigmoid(logits)
+    grad = ll_scale * (resid @ x) - dz * prior_inv_var[None, :]
+    return val, grad
+
+
+def normal_vg_reference(
+    z: Array, x: Array, y: Array, b: Array, u: Array, c0: float,
+    prior_mean: Array, prior_inv_var: Array, ll_scale: float = 1.0,
+) -> Tuple[Array, Array]:
+    """z [C,D] -> (val [C], grad [C,D]).
+
+    resid = y - (z@x.T + b); log-noise s = z@u + c0;
+    ll = -0.5 e^{-2s} ||resid||^2 - N s   (+ const).
+    """
+    n = y.shape[0]
+    resid = y[None, :] - (z @ x.T + b[None, :])  # [C, N]
+    s = z @ u + c0  # [C]
+    e2 = jnp.exp(-2.0 * s)  # [C]
+    rss = jnp.sum(resid * resid, -1)  # [C]
+    dz = z - prior_mean[None, :]
+    val = ll_scale * (-0.5 * e2 * rss - n * s) - 0.5 * jnp.sum(
+        dz * dz * prior_inv_var[None, :], -1
+    )
+    g_loc = e2[:, None] * (resid @ x)  # [C, D]
+    g_s = e2 * rss - n  # [C]
+    grad = ll_scale * (g_loc + g_s[:, None] * u[None, :]) - dz * prior_inv_var[None, :]
+    return val, grad
+
+
+# ======================================================================
+# Pallas kernels (TPU): (chain-block, row-block) grid, VMEM accumulation
+# ======================================================================
+
+def _bern_kernel(z_ref, x_ref, y_ref, b_ref, m_ref, iv_ref, val_ref, grad_ref,
+                 *, ll_scale: float):
+    j = jax.lax.convert_element_type(0, jnp.int32) + _pid1()
+    z = z_ref[:]  # [BC, D]
+    x = x_ref[:]  # [BN, D]
+    y = y_ref[:]  # [1, BN]  (pre-masked: padded rows contribute 0 — see pad)
+    b = b_ref[:]  # [2, BN]  row 0 = offset, row 1 = mask
+    logits = jax.lax.dot_general(
+        z, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b[0:1, :]  # [BC, BN]
+    mask = b[1:2, :]
+    ll = jnp.sum(
+        (y * logits - jax.nn.softplus(logits)) * mask, axis=-1, keepdims=True
+    )
+    resid = (y - jax.nn.sigmoid(logits)) * mask
+
+    @_when(j == 0)
+    def _():
+        dz = z - m_ref[:]
+        val_ref[:] = -0.5 * jnp.sum(dz * dz * iv_ref[:], -1, keepdims=True)
+        grad_ref[:] = -dz * iv_ref[:]
+
+    val_ref[:] += ll_scale * ll
+    grad_ref[:] += ll_scale * jax.lax.dot_general(
+        resid, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _normal_kernel(z_ref, x_ref, y_ref, b_ref, m_ref, iv_ref, u_ref,
+                   val_ref, grad_ref, *, ll_scale: float, c0: float,
+                   n_real: int, n_blocks: int):
+    j = jax.lax.convert_element_type(0, jnp.int32) + _pid1()
+    z = z_ref[:]  # [BC, D]
+    x = x_ref[:]  # [BN, D]
+    y = y_ref[:]  # [1, BN]
+    b = b_ref[:]  # [2, BN] (offset / mask; padded rows of x,y,b are 0)
+    u = u_ref[:]  # [1, D]
+    s = jnp.sum(z * u, -1, keepdims=True) + c0  # [BC, 1]
+    e2 = jnp.exp(-2.0 * s)
+    loc = jax.lax.dot_general(
+        z, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b[0:1, :]
+    resid = (y - loc) * b[1:2, :]  # [BC, BN]
+    rss = jnp.sum(resid * resid, -1, keepdims=True)  # [BC, 1]
+
+    @_when(j == 0)
+    def _():
+        dz = z - m_ref[:]
+        val_ref[:] = (
+            -0.5 * jnp.sum(dz * dz * iv_ref[:], -1, keepdims=True)
+            - ll_scale * n_real * s
+        )
+        grad_ref[:] = -dz * iv_ref[:] - (ll_scale * n_real) * u
+
+    val_ref[:] += ll_scale * (-0.5) * e2 * rss
+    g_loc = e2 * jax.lax.dot_general(
+        resid, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    grad_ref[:] += ll_scale * (g_loc + (e2 * rss) * u)
+
+
+def _pid1():
+    from jax.experimental import pallas as pl
+
+    return pl.program_id(1)
+
+
+def _when(cond):
+    from jax.experimental import pallas as pl
+
+    return pl.when(cond)
+
+
+def _glm_pallas_call(kernel, z, x, y, b_and_mask, prior_mean, prior_inv_var,
+                     extra_vmem, out_dtype, block_chains=256, block_rows=1024,
+                     interpret=False, cost=None):
+    """Shared launch: grid (chain blocks, row blocks), accumulate into
+    val/grad which stay VMEM-resident across the row sweep (row index is
+    the fastest grid dimension)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c, d = z.shape
+    n_pad = x.shape[0]
+    bc = min(block_chains, _round_up(c, 8))
+    bn = min(block_rows, n_pad)
+    c_pad = _round_up(c, bc)
+    if c_pad != c:
+        z = jnp.pad(z, ((0, c_pad - c), (0, 0)))
+    grid = (c_pad // bc, n_pad // bn)
+
+    in_specs = [
+        pl.BlockSpec((bc, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [z, x, y, b_and_mask, prior_mean, prior_inv_var]
+    for e in extra_vmem:
+        in_specs.append(
+            pl.BlockSpec(e.shape, lambda i, j: tuple(0 for _ in e.shape),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(e)
+
+    val, grad = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bc, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad, 1), out_dtype),
+            jax.ShapeDtypeStruct((c_pad, d), out_dtype),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    return val[:c, 0], grad[:c]
+
+
+def bernoulli_vg_pallas(z, x, y, b, prior_mean, prior_inv_var,
+                        ll_scale=1.0, block_chains=256, block_rows=1024,
+                        interpret=False):
+    """Pallas path of bernoulli_vg_reference (N-tiled)."""
+    from jax.experimental import pallas as pl
+
+    c, d = z.shape
+    n = x.shape[0]
+    bn = min(block_rows, _round_up(n, 256))
+    n_pad = _round_up(n, bn)
+    mask = jnp.concatenate([jnp.ones((n,), jnp.float32),
+                            jnp.zeros((n_pad - n,), jnp.float32)])
+    xp = jnp.pad(jnp.asarray(x, jnp.float32), ((0, n_pad - n), (0, 0)))
+    yp = jnp.pad(jnp.asarray(y, jnp.float32), (0, n_pad - n)).reshape(1, n_pad)
+    bm = jnp.stack([jnp.pad(jnp.asarray(b, jnp.float32), (0, n_pad - n)), mask])
+    cost = pl.CostEstimate(
+        flops=4 * c * n_pad * d, transcendentals=2 * c * n_pad,
+        bytes_accessed=(c * d * 2 + n_pad * d + 3 * n_pad + c) * 4,
+    )
+    return _glm_pallas_call(
+        functools.partial(_bern_kernel, ll_scale=float(ll_scale)),
+        z, xp, yp, bm,
+        prior_mean.reshape(1, d), prior_inv_var.reshape(1, d),
+        [], jnp.float32, block_chains, bn, interpret, cost,
+    )
+
+
+def normal_vg_pallas(z, x, y, b, u, c0, prior_mean, prior_inv_var,
+                     ll_scale=1.0, block_chains=256, block_rows=1024,
+                     interpret=False):
+    """Pallas path of normal_vg_reference (N-tiled)."""
+    from jax.experimental import pallas as pl
+
+    c, d = z.shape
+    n = x.shape[0]
+    bn = min(block_rows, _round_up(n, 256))
+    n_pad = _round_up(n, bn)
+    mask = jnp.concatenate([jnp.ones((n,), jnp.float32),
+                            jnp.zeros((n_pad - n,), jnp.float32)])
+    xp = jnp.pad(jnp.asarray(x, jnp.float32), ((0, n_pad - n), (0, 0)))
+    yp = jnp.pad(jnp.asarray(y, jnp.float32), (0, n_pad - n)).reshape(1, n_pad)
+    bm = jnp.stack([jnp.pad(jnp.asarray(b, jnp.float32), (0, n_pad - n)), mask])
+    cost = pl.CostEstimate(
+        flops=4 * c * n_pad * d, transcendentals=2 * c,
+        bytes_accessed=(c * d * 2 + n_pad * d + 3 * n_pad + c) * 4,
+    )
+    return _glm_pallas_call(
+        functools.partial(_normal_kernel, ll_scale=float(ll_scale),
+                          c0=float(c0), n_real=int(n),
+                          n_blocks=n_pad // bn),
+        z, xp, yp, bm,
+        prior_mean.reshape(1, d), prior_inv_var.reshape(1, d),
+        [u.reshape(1, d)], jnp.float32, block_chains, bn, interpret, cost,
+    )
+
+
+# ======================================================================
+# Numeric recognizer
+# ======================================================================
+
+def _affine_probe(f: Callable[[np.ndarray], np.ndarray], dim: int,
+                  rtol: float = 3e-3) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Extract (X, b) with f(z) = X@z + b, verified at a random point.
+    Probes are vmapped: one batched graph evaluation."""
+    probes = np.concatenate(
+        [np.zeros((1, dim), np.float32), np.eye(dim, dtype=np.float32)]
+    )
+    rng = np.random.RandomState(0)
+    zr = rng.normal(0, 1, size=(1, dim)).astype(np.float32)
+    outs = np.asarray(jax.jit(jax.vmap(f))(jnp.asarray(np.concatenate([probes, zr]))))
+    b = outs[0]
+    x = (outs[1 : 1 + dim] - b[None, :]).T  # [M, D]
+    pred = x @ zr[0] + b
+    scale = max(float(np.max(np.abs(outs[-1]))), 1.0)
+    if not np.allclose(pred, outs[-1], atol=rtol * scale):
+        return None
+    return x, b
+
+
+def _diag_gaussian_prior(prior_f, dim: int, rtol: float = 3e-3):
+    """Verify lp(z) is a diagonal quadratic; return (mean, inv_var)."""
+    probes = np.concatenate([
+        np.zeros((1, dim), np.float32),
+        np.eye(dim, dtype=np.float32),
+        -np.eye(dim, dtype=np.float32),
+    ])
+    rng = np.random.RandomState(1)
+    zr = rng.normal(0, 1.5, size=(2, dim)).astype(np.float32)
+    outs = np.asarray(jax.jit(jax.vmap(prior_f))(jnp.asarray(np.concatenate([probes, zr]))))
+    lp0 = outs[0]
+    lp_p = outs[1 : 1 + dim]
+    lp_m = outs[1 + dim : 1 + 2 * dim]
+    inv_var = -(lp_p + lp_m - 2.0 * lp0)  # curvature per coord
+    if np.any(inv_var <= 0) or not np.all(np.isfinite(inv_var)):
+        return None
+    # lp(e_i) - lp(0) = -(1 - 2 m_i) inv_var_i / 2
+    mean = (2.0 * (lp_p - lp0) / inv_var + 1.0) / 2.0
+    # direct check: quadratic form reproduces lp at the random points
+    for i, z in enumerate(zr):
+        pred = lp0 - 0.5 * float(np.sum((z - mean) ** 2 * inv_var)) + 0.5 * float(
+            np.sum(mean**2 * inv_var)
+        )
+        if not np.isclose(pred, outs[1 + 2 * dim + i],
+                          atol=rtol * max(abs(pred), 1.0)):
+            return None
+    return mean.astype(np.float32), inv_var.astype(np.float32)
+
+
+class FusedFamily(NamedTuple):
+    """Extracted GLM structure, verified against the autodiff density."""
+
+    family: str  # "bernoulli_logit" | "normal_learned"
+    x: Array
+    y: Array
+    b: Array
+    u: Optional[Array]
+    c0: float
+    prior_mean: Array
+    prior_inv_var: Array
+    ll_scale: float
+
+    def value_and_grad(self, use_pallas: str = "auto", interpret: bool = False):
+        """Batched fused potential fn(z [C,D]) -> (val [C], grad [C,D])."""
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        f = self
+        if f.family == "bernoulli_logit":
+            if use_pallas:
+                return lambda z: bernoulli_vg_pallas(
+                    z, f.x, f.y, f.b, f.prior_mean, f.prior_inv_var,
+                    f.ll_scale, interpret=interpret)
+            return lambda z: bernoulli_vg_reference(
+                z, f.x, f.y, f.b, f.prior_mean, f.prior_inv_var, f.ll_scale)
+        if use_pallas:
+            return lambda z: normal_vg_pallas(
+                z, f.x, f.y, f.b, f.u, f.c0, f.prior_mean, f.prior_inv_var,
+                f.ll_scale, interpret=interpret)
+        return lambda z: normal_vg_reference(
+            z, f.x, f.y, f.b, f.u, f.c0, f.prior_mean, f.prior_inv_var,
+            f.ll_scale)
+
+    def leapfrog(self, use_pallas: str = "auto", interpret: bool = False):
+        """Fused multi-step leapfrog, or an XLA loop fallback with the
+        same signature (ops/pallas_leapfrog.py)."""
+        from .pallas_leapfrog import build_fused_leapfrog, reference_leapfrog
+
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            lf = build_fused_leapfrog(
+                self.family, self.x, self.y, self.b, self.prior_mean,
+                self.prior_inv_var, u=self.u, c0=self.c0,
+                ll_scale=self.ll_scale, interpret=interpret,
+            )
+            if lf is not None:
+                return lf
+        return reference_leapfrog(self.value_and_grad(use_pallas=use_pallas,
+                                                      interpret=interpret))
+
+
+def recognize_fused_potential(comp, params, given=None,
+                              use_pallas: str = "auto",
+                              interpret: bool = False):
+    """Fused batched value_and_grad for `comp`'s potential, or None."""
+    fam = recognize_fused_family(comp, params, given)
+    if fam is None:
+        return None
+    return fam.value_and_grad(use_pallas=use_pallas, interpret=interpret)
+
+
+def recognize_fused_family(comp, params, given=None) -> Optional["FusedFamily"]:
+    """Numerically extract the GLM structure of `comp`'s potential.
+
+    Returns a verified FusedFamily matching comp.log_density_z up to an
+    additive constant, or None.  All structure is extracted by numeric
+    probing and double-checked against the autodiff density (values up
+    to constant + gradients) before the fused path is trusted.
+    """
+    given = given or {}
+    try:
+        if comp.discrete_latent_names and not all(
+            n in given for n in comp.discrete_latent_names
+        ):
+            return None
+        if len(comp.observed_names) != 1:
+            return None
+        obs_name = comp.observed_names[0]
+        obs_var = next(v for v in comp.order if v.name == obs_name)
+        from ..variables import PartialLink
+
+        if isinstance(obs_var._observed, PartialLink):
+            return None  # data-loader observation: data is not constant
+        from ..distributions import Bernoulli, Normal
+        from ..stochastic_processes import AutoRegressive
+
+        z_template = comp.z_example()
+        z0_flat, unravel = jax.flatten_util.ravel_pytree(z_template)
+        dim = int(z0_flat.shape[0])
+        if dim == 0 or dim > 4096:
+            return None
+
+        def prior_f(zf):
+            return comp.log_density_z_parts(params, unravel(zf), given)[0]
+
+        pr = _diag_gaussian_prior(jax.jit(prior_f), dim)
+        if pr is None:
+            return None
+        prior_mean, prior_inv_var = jnp.asarray(pr[0]), jnp.asarray(pr[1])
+
+        def obs_params_f(zf):
+            return comp.eval_observed_params(params, unravel(zf), given)[obs_name]
+
+        dist = obs_var.distribution
+        ll_scale = float(obs_var.log_prob_scale)
+        y_val = np.asarray(obs_var._observed, np.float32).ravel()
+
+        if isinstance(dist, Bernoulli):
+            if "logits" not in obs_var.links:
+                return None
+
+            def f_logits(zf):
+                return jnp.broadcast_to(
+                    obs_params_f(zf)["logits"], (y_val.shape[0],)
+                ).ravel()
+
+            ab = _affine_probe(jax.jit(f_logits), dim)
+            if ab is None:
+                return None
+            x_mat, b_vec = ab
+            fam = FusedFamily(
+                "bernoulli_logit", jnp.asarray(x_mat), jnp.asarray(y_val),
+                jnp.asarray(b_vec), None, 0.0, prior_mean, prior_inv_var,
+                ll_scale,
+            )
+        elif isinstance(dist, AutoRegressive):
+            p = dist.order
+            lags = np.stack(
+                [y_val[p - 1 - i : y_val.shape[0] - 1 - i] for i in range(p)],
+                axis=-1,
+            )  # [T-p, p]
+            y_eff = y_val[p:]
+
+            def f_loc(zf):
+                pr_ = obs_params_f(zf)
+                c = jnp.atleast_1d(pr_["coefficients"])
+                return (jnp.asarray(lags) @ c
+                        + jnp.broadcast_to(pr_.get("bias", 0.0), y_eff.shape))
+
+            def f_logscale(zf):
+                return jnp.log(
+                    jnp.broadcast_to(obs_params_f(zf)["noise_scale"], (1,))
+                )
+
+            fam = _extract_normal_learned(
+                f_loc, f_logscale, y_eff, dim, prior_mean, prior_inv_var,
+                ll_scale,
+            )
+        elif isinstance(dist, Normal):
+            def f_loc(zf):
+                return jnp.broadcast_to(
+                    obs_params_f(zf)["loc"], (y_val.shape[0],)
+                ).ravel()
+
+            def f_logscale(zf):
+                return jnp.log(
+                    jnp.broadcast_to(obs_params_f(zf)["scale"], (1,))
+                )
+
+            fam = _extract_normal_learned(
+                f_loc, f_logscale, y_val, dim, prior_mean, prior_inv_var,
+                ll_scale,
+            )
+        else:
+            return None
+        if fam is None:
+            return None
+        fused = fam.value_and_grad(use_pallas=False)
+
+        # ---- final self-check vs the autodiff density ------------------
+        def pot(zf):
+            return comp.log_density_z(params, unravel(zf), given)
+
+        rng = np.random.RandomState(2)
+        zs = jnp.asarray(rng.normal(0, 1, size=(3, dim)).astype(np.float32))
+        v_ref, g_ref = jax.jit(jax.vmap(jax.value_and_grad(pot)))(zs)
+        v_f, g_f = jax.jit(fused)(zs)
+        v_ref, g_ref = np.asarray(v_ref), np.asarray(g_ref)
+        v_f, g_f = np.asarray(v_f), np.asarray(g_f)
+        dv = (v_f - v_ref)
+        scale_v = max(1.0, float(np.max(np.abs(v_ref))))
+        scale_g = max(1.0, float(np.max(np.abs(g_ref))))
+        if not np.allclose(dv - dv[0], 0.0, atol=3e-3 * scale_v):
+            return None
+        if not np.allclose(g_f, g_ref, atol=3e-3 * scale_g):
+            return None
+        return fam
+    except Exception:
+        return None
+
+
+def _extract_normal_learned(f_loc, f_logscale, y, dim, prior_mean,
+                            prior_inv_var, ll_scale) -> Optional[FusedFamily]:
+    ab = _affine_probe(jax.jit(f_loc), dim)
+    if ab is None:
+        return None
+    x_mat, b_vec = ab
+    ab_s = _affine_probe(jax.jit(f_logscale), dim)
+    if ab_s is None:
+        return None
+    u_vec, c0 = ab_s[0][0], float(ab_s[1][0])  # [D], scalar
+    return FusedFamily(
+        "normal_learned", jnp.asarray(x_mat), jnp.asarray(y),
+        jnp.asarray(b_vec), jnp.asarray(u_vec), c0, prior_mean,
+        prior_inv_var, ll_scale,
+    )

@@ -1,0 +1,199 @@
+"""Generalized fused GLM potentials: kernel parity (interpret mode) and
+the numeric recognizer's exactness guarantees (VERDICT r1 next-round #3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu.ops.pallas_glm import (
+    bernoulli_vg_pallas,
+    bernoulli_vg_reference,
+    normal_vg_pallas,
+    normal_vg_reference,
+    recognize_fused_potential,
+)
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape)
+
+
+def test_bernoulli_kernel_matches_reference(key):
+    n, d, c = 300, 5, 16  # n not a multiple of the row block: tests masking
+    ks = jax.random.split(key, 4)
+    x = _rand(ks[0], n, d)
+    y = (jax.random.uniform(ks[1], (n,)) < 0.5).astype(jnp.float32)
+    b = 0.3 * _rand(ks[2], n)
+    z = _rand(ks[3], c, d)
+    m = jnp.linspace(-1, 1, d)
+    iv = jnp.linspace(0.5, 2.0, d)
+    v_r, g_r = bernoulli_vg_reference(z, x, y, b, m, iv, ll_scale=1.7)
+    v_p, g_p = bernoulli_vg_pallas(z, x, y, b, m, iv, ll_scale=1.7,
+                                   block_rows=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_r), rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), rtol=2e-4, atol=1e-3)
+
+
+def test_normal_kernel_matches_reference(key):
+    n, d, c = 513, 4, 8
+    ks = jax.random.split(key, 5)
+    x = _rand(ks[0], n, d)
+    y = _rand(ks[1], n)
+    b = 0.1 * _rand(ks[2], n)
+    z = 0.5 * _rand(ks[3], c, d)
+    u = jnp.asarray([0.0, 0.0, 0.0, 1.0])  # last coord is log-noise
+    m = jnp.zeros(d)
+    iv = jnp.ones(d)
+    v_r, g_r = normal_vg_reference(z, x, y, b, u, -0.5, m, iv)
+    v_p, g_p = normal_vg_pallas(z, x, y, b, u, -0.5, m, iv,
+                                block_rows=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_r), rtol=3e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), rtol=3e-4, atol=2e-3)
+
+
+def test_recognizer_logreg_matches_autodiff(key):
+    """Recognizer must produce a potential equal (up to a constant) to the
+    model's autodiff log-density — including gradient — for logreg."""
+    from brancher_tpu.models.logistic_regression import (
+        logistic_regression_model, make_logreg_data,
+    )
+
+    x, y, _ = make_logreg_data(num_points=120, dim=6, seed=0)
+    model = logistic_regression_model(x, y)
+    comp = model.compiled()
+    fused = recognize_fused_potential(comp, comp.initial_params)
+    assert fused is not None
+
+    import jax.flatten_util
+
+    z0, unravel = jax.flatten_util.ravel_pytree(comp.z_example())
+
+    def pot(zf):
+        return comp.log_density_z(comp.initial_params, unravel(zf), None)
+
+    zs = jax.random.normal(key, (4, z0.shape[0]))
+    v_ref, g_ref = jax.vmap(jax.value_and_grad(pot))(zs)
+    v_f, g_f = fused(zs)
+    dv = np.asarray(v_f - v_ref)
+    np.testing.assert_allclose(dv, dv[0], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_recognizer_ar_matches_autodiff(key):
+    """AR(2): normal_learned family with the lagged series as design."""
+    from brancher_tpu.models.autoregressive import ar_model, make_ar_data
+
+    data = make_ar_data(length=200, coeffs=(0.5, 0.2), noise=0.4, seed=1)
+    model = ar_model(data, order=2)
+    comp = model.compiled()
+    fused = recognize_fused_potential(comp, comp.initial_params)
+    assert fused is not None
+
+    import jax.flatten_util
+
+    z0, unravel = jax.flatten_util.ravel_pytree(comp.z_example())
+
+    def pot(zf):
+        return comp.log_density_z(comp.initial_params, unravel(zf), None)
+
+    zs = 0.7 * jax.random.normal(key, (4, z0.shape[0]))
+    v_ref, g_ref = jax.vmap(jax.value_and_grad(pot))(zs)
+    v_f, g_f = fused(zs)
+    dv = np.asarray(v_f - v_ref)
+    np.testing.assert_allclose(dv, dv[0], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_recognizer_rejects_nonlinear_model():
+    """A model with a non-affine link must be rejected, not mis-fused."""
+    import brancher_tpu.functions as BF
+    from brancher_tpu import BernoulliVariable, NormalVariable, ProbabilisticModel
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(50, 3)).astype(np.float32)
+    w = NormalVariable(jnp.zeros(3), jnp.ones(3), "w")
+    logits = BF.matmul(jnp.asarray(x), BF.exp(w))  # nonlinear in w
+    yv = BernoulliVariable(logits=logits, name="y")
+    yv.observe(jnp.asarray((rng.uniform(size=50) < 0.5).astype(np.int32)))
+    comp = ProbabilisticModel([yv]).compiled()
+    assert recognize_fused_potential(comp, comp.initial_params) is None
+
+
+def test_recognizer_rejects_nongaussian_prior():
+    from brancher_tpu import BernoulliVariable, StudentTVariable, ProbabilisticModel
+    import brancher_tpu.functions as BF
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(40, 2)).astype(np.float32)
+    w = StudentTVariable(3.0, jnp.zeros(2), jnp.ones(2), "w")
+    yv = BernoulliVariable(logits=BF.matmul(jnp.asarray(x), w), name="y")
+    yv.observe(jnp.asarray((rng.uniform(size=40) < 0.5).astype(np.int32)))
+    comp = ProbabilisticModel([yv]).compiled()
+    assert recognize_fused_potential(comp, comp.initial_params) is None
+
+
+def test_sample_auto_fuses_ar(key):
+    """End-to-end: NUTS on AR(1) goes through the recognized fused
+    potential by default and still recovers the true parameters."""
+    from brancher_tpu.inference import NUTS, sample
+    from brancher_tpu.models.autoregressive import ar_model, make_ar_data
+
+    data = make_ar_data(length=400, coeffs=(0.7,), noise=0.3, seed=0)
+    model = ar_model(data, order=1)
+    res = sample(model, kernel=NUTS(max_depth=8), num_samples=400,
+                 num_warmup=400, num_chains=8, key=key)
+    comp = model.compiled()
+    assert getattr(comp, "_fused_family_cache", None) is not None
+    assert comp._fused_family_cache.family == "normal_learned"
+    c_mean = float(jnp.mean(res.samples["coeffs"]))
+    n_mean = float(jnp.mean(res.samples["noise_scale"]))
+    assert abs(c_mean - 0.7) < 0.1
+    assert abs(n_mean - 0.3) < 0.05
+    assert float(res.diagnostics["num_divergences"]) == 0
+
+
+def test_fused_leapfrog_matches_reference(key):
+    """Pallas multi-step leapfrog (interpret) == XLA loop of the fused
+    potential, bit-for-bit up to fp reassociation."""
+    from brancher_tpu.models.logistic_regression import (
+        logistic_regression_model, make_logreg_data,
+    )
+    from brancher_tpu.ops.pallas_glm import recognize_fused_family
+    from brancher_tpu.ops.pallas_leapfrog import reference_leapfrog
+
+    x, y, _ = make_logreg_data(num_points=100, dim=6, seed=0)
+    comp = logistic_regression_model(x, y).compiled()
+    fam = recognize_fused_family(comp, comp.initial_params)
+    assert fam is not None
+
+    lf_ref = reference_leapfrog(fam.value_and_grad(use_pallas=False))
+    lf_pl = fam.leapfrog(use_pallas=True, interpret=True)
+
+    ks = jax.random.split(key, 2)
+    z = 0.3 * jax.random.normal(ks[0], (16, 6))
+    r = jax.random.normal(ks[1], (16, 6))
+    _, g0 = fam.value_and_grad(use_pallas=False)(z)
+    inv_mass = jnp.linspace(0.5, 1.5, 6)
+    for n_steps in (1, 7):
+        z1r, r1r, v1r, g1r = lf_ref(z, r, g0, 0.05, inv_mass, n_steps)
+        z1p, r1p, v1p, g1p = lf_pl(z, r, g0, 0.05, inv_mass, n_steps)
+        np.testing.assert_allclose(np.asarray(z1p), np.asarray(z1r), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r1p), np.asarray(r1r), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v1p), np.asarray(v1r), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(g1p), np.asarray(g1r), rtol=1e-4, atol=1e-4)
+
+
+def test_hmc_with_fused_leapfrog_posterior(key):
+    """Chain-batched HMC driven by the fused leapfrog recovers the
+    conjugate posterior (reference XLA loop path on CPU)."""
+    from brancher_tpu.inference import HMC, sample
+    from brancher_tpu.models.conjugate import conjugate_normal_model
+
+    model, truth = conjugate_normal_model(num_obs=20)
+    res = sample(model, kernel=HMC(num_integration_steps=16),
+                 num_samples=600, num_warmup=400, num_chains=32, key=key)
+    comp = model.compiled()
+    assert getattr(comp, "_fused_family_cache", None) is not None
+    assert abs(float(jnp.mean(res.samples["mu"])) - truth["post_mean"]) < 0.05
+    assert abs(float(jnp.var(res.samples["mu"])) - truth["post_var"]) < 0.03
