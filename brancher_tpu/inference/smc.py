@@ -13,11 +13,15 @@ Design:
     select (always compute indices, select identity when ESS is high) —
     keeps the scan body straight-line for XLA.
   * Multi-device: particles shard over a mesh axis.  Weight
-    normalization and ESS are ``psum``s; resampling all-gathers the
-    (small) weight vector, computes GLOBAL systematic indices, and
-    fetches winning particles with a gathered copy.  (A ppermute-based
-    redistribution that avoids the full state all-gather is the planned
-    optimization — see ops/resampling.py.)
+    normalization, ESS and the incremental marginal likelihood are O(1)
+    psum/pmax reductions (ops/resampling.py); resampling all-gathers
+    ONLY the O(P) weight vector to build the global systematic CDF.
+    Particle STATE moves point-to-point via ``ppermute`` ring rounds
+    (ops/resampling.py::ring_exchange), and only on steps where the
+    adaptive-ESS trigger fires (``lax.cond`` — the predicate is
+    replicated across shards, so collectives stay matched).  The
+    ``exchange="gather"`` mode keeps the round-1 all-gather path for
+    comparison; ``exchange="island"`` never moves state at all.
 """
 from __future__ import annotations
 
@@ -244,23 +248,35 @@ def sharded_particle_filter(
     mesh,
     particle_axis: str = "particle",
     ess_threshold: float = 0.5,
+    exchange: str = "ppermute",
 ) -> SMCResult:
     """Particle filter with particles sharded over a mesh axis.
 
-    Weight reductions are psums; resampling computes GLOBAL systematic
-    indices from an all-gathered weight vector, then gathers the selected
-    particle states.  All collectives are expressed with axis-name ops
-    inside ``shard_map`` and lower to ICI collectives on a pod slice.
+    Global systematic resampling, two state-movement strategies:
+      * "ppermute" (default): all-gather ONLY the O(P) weight vector;
+        ancestor states travel point-to-point via ppermute ring rounds,
+        and only on steps where the adaptive trigger fires
+        (ops/resampling.py — VERDICT r1 #7).
+      * "gather": the round-1 full state all-gather every step.
+    Both produce identical filter means given the same key (the
+    resampling indices are the same global systematic draw).
     For a zero-state-exchange alternative see ``island_particle_filter``.
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
+
+    from ..ops.resampling import (
+        distributed_ess,
+        distributed_logsumexp,
+        ring_exchange,
+    )
 
     n_dev = mesh.shape[particle_axis]
     if num_particles % n_dev != 0:
         raise ValueError("num_particles must divide the particle-axis size")
     local_p = num_particles // n_dev
     t_len = ys.shape[0]
+    use_ring = exchange == "ppermute"
 
     def body(keys_local, shared_key):
         # keys_local: per-shard particle keys; shared_key: replicated, so
@@ -270,25 +286,45 @@ def sharded_particle_filter(
         x0 = jax.vmap(ssm.init_sample)(keys_local)
         lw0 = jax.vmap(lambda x: ssm.obs_log_prob(ys[0], x, 0))(x0)
 
+        def global_mean(lw_local, x_local):
+            """Weighted mean over all shards: O(d) psums, no state gather."""
+            lse = distributed_logsumexp(lw_local, particle_axis)
+            w_local = jnp.exp(lw_local - lse)
+            return jax.lax.psum(
+                jnp.tensordot(w_local, x_local, axes=(0, 0)), particle_axis
+            )
+
         def step(carry, t):
             x, lw, log_ml = carry
             k_t = jax.random.fold_in(shared_key, t)
             k_res = jax.random.fold_in(k_t, 1)
             k_prop = jax.random.fold_in(k_t, 2)
 
-            # global weight vector (small): all-gather over ICI
+            # weights only (O(P)): needed for the global systematic CDF
             lw_all = jax.lax.all_gather(lw, particle_axis).reshape(-1)
             ess = _ess(lw_all)
             do_resample = ess < ess_threshold * num_particles
             idx_global = systematic_resample_indices(k_res, lw_all)
             # this shard keeps global slots [my*local_p, (my+1)*local_p)
             my_idx = jax.lax.dynamic_slice_in_dim(idx_global, my * local_p, local_p)
-            # gather full states (correct, bandwidth-heavy; opt: ppermute)
-            x_all = jax.lax.all_gather(x, particle_axis)
-            x_all = x_all.reshape((-1,) + x_all.shape[2:])
             iota = my * local_p + jnp.arange(local_p)
-            sel = jnp.where(do_resample, my_idx, iota)
-            x = jnp.take(x_all, sel, axis=0)
+
+            if use_ring:
+                # state exchange ONLY when resampling triggers; the
+                # predicate is replicated so every shard takes the same
+                # branch and the ring collectives stay matched
+                def do_exchange(x):
+                    return ring_exchange(x, my_idx, particle_axis)
+
+                def no_exchange(x):
+                    return x
+
+                x = jax.lax.cond(do_resample, do_exchange, no_exchange, x)
+            else:
+                x_all = jax.lax.all_gather(x, particle_axis)
+                x_all = x_all.reshape((-1,) + x_all.shape[2:])
+                sel = jnp.where(do_resample, my_idx, iota)
+                x = jnp.take(x_all, sel, axis=0)
             lse = jax.scipy.special.logsumexp(lw_all)
             lw = jnp.where(
                 do_resample,
@@ -301,32 +337,30 @@ def sharded_particle_filter(
             l_obs = jax.vmap(lambda xx: ssm.obs_log_prob(ys[t], xx, t))(x_new)
             lw_new = lw + l_obs
 
-            lw_new_all = jax.lax.all_gather(lw_new, particle_axis).reshape(-1)
-            lw_prev_all = jax.lax.all_gather(lw, particle_axis).reshape(-1)
             inc = (
-                jax.scipy.special.logsumexp(lw_new_all)
-                - jax.scipy.special.logsumexp(lw_prev_all)
+                distributed_logsumexp(lw_new, particle_axis)
+                - distributed_logsumexp(lw, particle_axis)
             )
             log_ml = log_ml + inc
 
-            w_all = jax.nn.softmax(lw_new_all)
-            x_new_all = jax.lax.all_gather(x_new, particle_axis)
-            x_new_all = x_new_all.reshape((-1,) + x_new_all.shape[2:])
-            mean_t = jnp.tensordot(w_all, x_new_all, axes=(0, 0))
-            return (x_new, lw_new, log_ml), (mean_t, _ess(lw_new_all))
+            mean_t = global_mean(lw_new, x_new)
+            return (x_new, lw_new, log_ml), (
+                mean_t, distributed_ess(lw_new, particle_axis)
+            )
 
         ts = jnp.arange(1, t_len)
-        lw0_all = jax.lax.all_gather(lw0, particle_axis).reshape(-1)
-        log_ml0 = jax.scipy.special.logsumexp(lw0_all) - jnp.log(float(num_particles))
+        log_ml0 = (
+            distributed_logsumexp(lw0, particle_axis)
+            - jnp.log(float(num_particles))
+        )
         (x, lw, log_ml), (means, esss) = jax.lax.scan(
             step, (x0, lw0, log_ml0), ts
         )
-        w0_all = jax.nn.softmax(lw0_all)
-        x0_all = jax.lax.all_gather(x0, particle_axis)
-        x0_all = x0_all.reshape((-1,) + x0_all.shape[2:])
-        mean0 = jnp.tensordot(w0_all, x0_all, axes=(0, 0))
+        mean0 = global_mean(lw0, x0)
         filter_means = jnp.concatenate([mean0[None], means], axis=0)
-        ess_history = jnp.concatenate([_ess(lw0_all)[None], esss])
+        ess_history = jnp.concatenate(
+            [distributed_ess(lw0, particle_axis)[None], esss]
+        )
         lw_all = jax.lax.all_gather(lw, particle_axis).reshape(-1)
         return log_ml, x, jax.nn.softmax(lw_all), filter_means, ess_history
 
@@ -351,13 +385,18 @@ def smc_sample(
     mesh=None,
     particle_axis: str = "particle",
     ess_threshold: float = 0.5,
-    exchange: str = "global",
+    exchange: str = "ppermute",
 ) -> SMCResult:
     """User entry point: particle-filter an explicit StateSpace spec.
 
     exchange (sharded only):
-      * "global" — exact systematic resampling over ALL particles
-        (all-gather of states at resampling; highest fidelity).
+      * "ppermute" (default) — exact global systematic resampling;
+        weights all-gather (O(P)), ancestor STATE moves point-to-point
+        over ppermute ring rounds and only when the adaptive trigger
+        fires (ops/resampling.py).
+      * "gather" (alias "global") — exact global systematic resampling
+        with a full state all-gather every step (round-1 path, kept for
+        comparison).
       * "island" — per-shard local resampling, islands combined by
         weight (NO cross-device particle movement; scales to any pod
         size at slightly higher estimator variance).
@@ -365,14 +404,17 @@ def smc_sample(
     if key is None:
         key = jax.random.PRNGKey(0)
     if mesh is not None:
-        if exchange not in ("global", "island"):
+        if exchange == "global":
+            exchange = "gather"
+        if exchange not in ("ppermute", "gather", "island"):
             raise ValueError(f"unknown exchange mode {exchange!r}")
         if exchange == "island":
             return island_particle_filter(
                 ssm, ys, num_particles, key, mesh, particle_axis, ess_threshold
             )
         return sharded_particle_filter(
-            ssm, ys, num_particles, key, mesh, particle_axis, ess_threshold
+            ssm, ys, num_particles, key, mesh, particle_axis, ess_threshold,
+            exchange=exchange,
         )
     return jax.jit(
         lambda k: particle_filter(ssm, ys, num_particles, k, ess_threshold)

@@ -393,6 +393,20 @@ def recognize_fused_family(comp, params, given=None) -> Optional["FusedFamily"]:
     """
     given = given or {}
     try:
+        # Probe on the CPU backend: these are dozens of tiny programs, and
+        # on the axon TPU backend each small jit compile costs seconds
+        # (measured: 69 s for the whole probe sequence on-TPU vs <1 s on
+        # CPU).  The extracted design matrices transfer to the TPU once,
+        # on first use.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return _recognize_on_default_device(comp, params, given)
+    except Exception:
+        return None
+
+
+def _recognize_on_default_device(comp, params, given):
+    try:
         if comp.discrete_latent_names and not all(
             n in given for n in comp.discrete_latent_names
         ):

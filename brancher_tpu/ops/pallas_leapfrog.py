@@ -120,7 +120,7 @@ def build_fused_leapfrog(
     u: Optional[Array] = None,
     c0: float = 0.0,
     ll_scale: float = 1.0,
-    block_chains: int = 512,
+    block_chains: int = 1024,
     vmem_budget_bytes: int = 6 * 1024 * 1024,
     interpret: bool = False,
 ) -> Optional[Callable]:

@@ -192,7 +192,8 @@ def test_hmc_with_fused_leapfrog_posterior(key):
 
     model, truth = conjugate_normal_model(num_obs=20)
     res = sample(model, kernel=HMC(num_integration_steps=16),
-                 num_samples=600, num_warmup=400, num_chains=32, key=key)
+                 num_samples=600, num_warmup=400, num_chains=32, key=key,
+                 fused_leapfrog=True)
     comp = model.compiled()
     assert getattr(comp, "_fused_family_cache", None) is not None
     assert abs(float(jnp.mean(res.samples["mu"])) - truth["post_mean"]) < 0.05
