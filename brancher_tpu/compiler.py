@@ -24,6 +24,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .transforms import transform_for
 from .utilities import sum_all
@@ -139,7 +140,13 @@ class CompiledModel:
         return {k: jnp.broadcast_to(p, target) for k, p in params.items()}
 
     def _rv_log_prob(self, v: RandomVariable, value, dist_params) -> Array:
-        lp = sum_all(v.distribution.log_prob(value, **dist_params))
+        mask = getattr(v, "log_prob_mask", None)
+        if mask is not None:
+            # element-wise masked likelihood (missing-data support:
+            # stochastic_processes.observe_timeseries)
+            lp = jnp.sum(v.distribution.log_prob(value, **dist_params) * mask)
+        else:
+            lp = sum_all(v.distribution.log_prob(value, **dist_params))
         if v.log_prob_scale != 1.0:
             lp = v.log_prob_scale * lp
         return lp
@@ -370,6 +377,113 @@ class CompiledModel:
             tr = transform_for(v.distribution, p)
             values[v.name] = tr.forward(z[v.name])
         return out
+
+    # ------------------------------------------------------------------
+    # Discrete-latent enumeration (VERDICT r1 #6 / ROADMAP r1 #6)
+    # ------------------------------------------------------------------
+    def discrete_enum_info(self, params, given=None):
+        """[(name, shape, cardinality)] for every enumerable discrete
+        latent (Bernoulli K=2; Categorical K = trailing class-axis size)."""
+        from .distributions import Bernoulli, Categorical
+
+        given = given or {}
+        store = self._as_store(params)
+        values, _ = self._walk_sample(store, jax.random.PRNGKey(0), given)
+        info = []
+        for v in self.order:
+            if v.name not in self.discrete_latent_names or v.name in given:
+                continue
+            p = self._expand_plate(v, v.eval_params(values, store))
+            if isinstance(v.distribution, Bernoulli):
+                k = 2
+            elif isinstance(v.distribution, Categorical):
+                lg = p.get("logits", p.get("probs"))
+                k = int(jnp.shape(lg)[-1])
+            else:
+                raise ValueError(
+                    f"discrete latent {v.name!r} ({type(v.distribution).__name__}) "
+                    "is not enumerable (Bernoulli/Categorical only)"
+                )
+            info.append((v.name, tuple(self.shapes[v.name]), k))
+        return info
+
+    def enumerated_log_density(
+        self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None,
+        return_responsibilities: bool = False,
+    ):
+        """log p(z, data) with ALL discrete latents summed out.
+
+        Exploits element-wise factorization: writing
+        ``logp(z, d) = C(z) + sum_(i,e) f_ie(d[i][e], z)`` over discrete
+        latents i and their elements e (verified numerically by
+        ``check_enum_factorization`` — call it once before trusting this
+        in a new model), the marginal is
+        ``C + sum_(i,e) logsumexp_k (lp_ie(k) - base)`` from one vmapped
+        batch of full-density evaluations (sum of cardinalities, not
+        their product).  With ``return_responsibilities`` also returns
+        ``{name: [*, K] posterior probs}`` per element.
+        """
+        given = dict(given or {})
+        info = self.discrete_enum_info(params, given)
+        ref = {n: jnp.zeros(s, jnp.int32) for n, s, _ in info}
+
+        def lp_with(assign):
+            return self.log_density_z(params, z, {**given, **ref, **assign})
+
+        base = lp_with({})
+        total = base
+        resp = {}
+        for name, shape, k in info:
+            n_elem = int(np.prod(shape)) if shape else 1
+            flat_ref = ref[name].ravel()
+
+            def one(e, kv, _name=name, _shape=shape, _flat=flat_ref):
+                d = _flat.at[e].set(kv).reshape(_shape)
+                return lp_with({_name: d})
+
+            ee = jnp.repeat(jnp.arange(n_elem), k)
+            kk = jnp.tile(jnp.arange(k), n_elem)
+            lps = jax.vmap(one)(ee, kk).reshape(n_elem, k)  # [E, K]
+            rel = lps - base
+            total = total + jnp.sum(jax.scipy.special.logsumexp(rel, axis=1))
+            if return_responsibilities:
+                resp[name] = jax.nn.softmax(rel, axis=1).reshape(shape + (k,))
+        if return_responsibilities:
+            return total, resp
+        return total
+
+    def check_enum_factorization(self, params, given=None, atol=1e-3) -> bool:
+        """Numerically verify the element-wise additivity the enumeration
+        relies on: logp at a random joint assignment must equal the sum of
+        single-element deviations from the all-zeros reference.  False for
+        models with discrete-discrete interactions."""
+        given = dict(given or {})
+        info = self.discrete_enum_info(params, given)
+        if not info:
+            return True
+        rng = np.random.RandomState(0)
+        z = {kname: jnp.asarray(rng.normal(0, 0.7, s).astype(np.float32))
+             for kname, s in self.z_shapes.items()}
+        ref = {n: jnp.zeros(s, jnp.int32) for n, s, _ in info}
+
+        def lp_with(assign):
+            return self.log_density_z(params, z, {**given, **ref, **assign})
+
+        base = float(lp_with({}))
+        d_star = {
+            n: jnp.asarray(rng.randint(0, k, s if s else ()), jnp.int32)
+            for n, s, k in info
+        }
+        joint = float(lp_with(d_star))
+        total = 0.0
+        for name, shape, k in info:
+            n_elem = int(np.prod(shape)) if shape else 1
+            flat_star = d_star[name].ravel()
+            flat_ref = ref[name].ravel()
+            for e in range(n_elem):
+                d = flat_ref.at[e].set(flat_star[e]).reshape(shape)
+                total += float(lp_with({name: d})) - base
+        return bool(abs((joint - base) - total) <= atol * max(1.0, abs(joint)))
 
     def constrain(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
         values, _ = self._walk_z(self._as_store(params), z, given or {})

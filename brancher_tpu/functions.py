@@ -136,6 +136,8 @@ where = _lift(jnp.where, "where")
 power = _lift(jnp.power, "power")
 maximum = _lift(jnp.maximum, "maximum")
 minimum = _lift(jnp.minimum, "minimum")
+take = _lift(jnp.take, "take")
+one_hot = _lift(jax.nn.one_hot, "one_hot")
 
 
 def cat(links, axis=0):

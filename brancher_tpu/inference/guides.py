@@ -65,7 +65,13 @@ class DSLGuide:
         values, logq = jax.vmap(one)(keys)
         if detach:
             values = jax.lax.stop_gradient(values)
-            logq = comp.log_prob(params, values)
+            # recompute log q differentiably in params: pass only the
+            # RANDOM variables' values — deterministic nodes (learnable
+            # leaves!) must be re-derived from params, not read from the
+            # detached dict, or the score-function gradient is zero
+            rv_names = set(comp.latent_names) | set(comp.observed_names)
+            rv_values = {k: v for k, v in values.items() if k in rv_names}
+            logq = comp.log_prob(params, rv_values)
         return values, logq
 
 

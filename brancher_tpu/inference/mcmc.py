@@ -340,6 +340,7 @@ def sample(
     value_and_grad_fn=None,
     fused_potential: str = "auto",
     fused_leapfrog: bool = False,
+    enumerate_discrete: bool = False,
     resume_state: Optional[Dict[str, Array]] = None,
     init_strategy: str = "uniform",
 ) -> MCMCResult:
@@ -380,6 +381,20 @@ def sample(
     if params is None:
         params = comp.initial_params
     potential_fn, unravel, _ = make_potential(comp, params, given)
+    if enumerate_discrete:
+        # sum out Bernoulli/Categorical latents inside the potential —
+        # NUTS/HMC then runs on the marginalized continuous density
+        # (compiler.enumerated_log_density; factorization verified once)
+        if not comp.check_enum_factorization(params, given):
+            raise ValueError(
+                "discrete latents do not factorize element-wise; "
+                "enumeration is not available for this model"
+            )
+
+        def potential_fn(z_flat):
+            return -comp.enumerated_log_density(params, unravel(z_flat), given)
+
+        fused_potential = "off"
 
     # -- fused-potential auto-upgrade (cached per compiled model) ----------
     leapfrog_fn = None
@@ -524,10 +539,20 @@ def sample(
             if isinstance(v, DeterministicVariable) and v.parents
         ]
 
+    given_c = given
+    if enumerate_discrete:
+        # discrete latents are marginalized out of the chain state; pin
+        # them to a reference assignment so the constrain walk (and any
+        # deterministic descendants) stays well-defined
+        given_c = dict(given or {})
+        for n in comp.discrete_latent_names:
+            if n not in given_c:
+                given_c[n] = jnp.zeros(comp.shapes[n], jnp.int32)
+
     @jax.jit
     def constrain_all(zs):
         def one(zf):
-            vals = comp.constrain(params, unravel(zf), given)
+            vals = comp.constrain(params, unravel(zf), given_c)
             return {n: vals[n] for n in names_out}
 
         return jax.vmap(jax.vmap(one))(zs)

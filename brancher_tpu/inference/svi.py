@@ -62,15 +62,28 @@ class InferenceMethod:
 
 
 class ReverseKL(InferenceMethod):
-    """Negative-ELBO minimization (the reference's default method)."""
+    """Negative-ELBO minimization (the reference's default method).
 
-    def __init__(self, gradient_estimator: Optional[GradientEstimator] = None):
+    enumerate_discrete: with an unconstrained-space (auto) guide, sum out
+    Bernoulli/Categorical latents exactly inside log p (compiler
+    enumeration) instead of requiring the guide to sample them.
+    """
+
+    def __init__(self, gradient_estimator: Optional[GradientEstimator] = None,
+                 enumerate_discrete: bool = False):
         self.estimator = gradient_estimator or PathwiseDerivativeEstimator()
+        self.enumerate_discrete = enumerate_discrete
 
     def make_loss(self, p_comp: CompiledModel, guide):
         est = self.estimator
         latent_set = set(p_comp.latent_names)
         loaders = tuple(p_comp.data_loader_names)
+        enum = self.enumerate_discrete
+        if enum and not p_comp.check_enum_factorization(p_comp.initial_params):
+            raise ValueError(
+                "discrete latents do not factorize element-wise; "
+                "enumeration is not available for this model"
+            )
 
         def loss_fn(opt_params, key, num_samples: int):
             p_params, q_params = opt_params["p"], opt_params["q"]
@@ -88,6 +101,10 @@ class ReverseKL(InferenceMethod):
                 log_p = jax.vmap(
                     lambda s: p_comp.log_prob_one(p_params, {**s, **given_data})
                 )(latents)
+            elif enum:
+                log_p = jax.vmap(
+                    lambda z: p_comp.enumerated_log_density(p_params, z, given_data)
+                )(values)
             else:
                 log_p = jax.vmap(
                     lambda z: p_comp.log_density_z(p_params, z, given_data)

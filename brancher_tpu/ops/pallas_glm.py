@@ -477,8 +477,11 @@ def _recognize_on_default_device(comp, params, given):
 
             def f_logscale(zf):
                 return jnp.log(
-                    jnp.broadcast_to(obs_params_f(zf)["noise_scale"], (1,))
+                    jnp.atleast_1d(obs_params_f(zf)["noise_scale"]).ravel()[0:1]
                 )
+
+            if not _scale_is_shared(obs_params_f, "noise_scale", dim):
+                return None
 
             fam = _extract_normal_learned(
                 f_loc, f_logscale, y_eff, dim, prior_mean, prior_inv_var,
@@ -492,8 +495,11 @@ def _recognize_on_default_device(comp, params, given):
 
             def f_logscale(zf):
                 return jnp.log(
-                    jnp.broadcast_to(obs_params_f(zf)["scale"], (1,))
+                    jnp.atleast_1d(obs_params_f(zf)["scale"]).ravel()[0:1]
                 )
+
+            if not _scale_is_shared(obs_params_f, "scale", dim):
+                return None
 
             fam = _extract_normal_learned(
                 f_loc, f_logscale, y_val, dim, prior_mean, prior_inv_var,
@@ -525,6 +531,15 @@ def _recognize_on_default_device(comp, params, given):
         return fam
     except Exception:
         return None
+
+
+def _scale_is_shared(obs_params_f, key_name: str, dim: int) -> bool:
+    """True iff the observed scale is one shared value across elements
+    (possibly plate-broadcast) at a random probe point — the
+    normal_learned family has a single log-noise per chain."""
+    zr = jnp.asarray(np.random.RandomState(5).normal(0, 1, dim).astype(np.float32))
+    sc = np.asarray(jnp.atleast_1d(obs_params_f(zr)[key_name]).ravel())
+    return bool(np.allclose(sc, sc[0], rtol=1e-6, atol=0.0))
 
 
 def _extract_normal_learned(f_loc, f_logscale, y, dim, prior_mean,

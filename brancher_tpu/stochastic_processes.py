@@ -259,3 +259,51 @@ def GaussianProcess(
         MultivariateNormal(), name=name,
         links={"loc": loc, "covariance_matrix": cov},
     )
+
+
+def observe_timeseries(series_var, data) -> None:
+    """Observe a time-series variable with MISSING entries (NaN gaps).
+
+    Reference parity: the ``Timeseries`` observed-series sugar (Brancher's
+    time-series examples condition on partially observed series).  NaNs in
+    ``data`` are treated as missing: their likelihood terms drop out via
+    an element-wise mask, and — for AR(p) series — every term whose LAG
+    WINDOW touches a missing value is masked too (its conditional mean
+    would involve the unobserved point).  Missing positions are filled
+    with 0 in the stored value purely to keep arithmetic NaN-free; they
+    contribute nothing to any log-density.
+    """
+    import numpy as np
+
+    from .variables import RandomVariable
+
+    arr = np.asarray(data, np.float32)
+    finite = np.isfinite(arr)
+    filled = np.where(finite, arr, 0.0).astype(np.float32)
+    mask = finite.astype(np.float32)
+
+    if isinstance(series_var, RandomVariable) and isinstance(
+        series_var.distribution, AutoRegressive
+    ):
+        p = series_var.distribution.order
+        term_ok = finite.copy()
+        # term t >= p is valid only if x_t and lags x_{t-1..t-p} observed
+        for i in range(1, p + 1):
+            term_ok[p:] &= finite[p - i : arr.shape[0] - i]
+        mask = term_ok.astype(np.float32)
+
+    series_var.observe(jnp.asarray(filled))
+    series_var.log_prob_mask = jnp.asarray(mask)
+
+
+def Timeseries(data):
+    """Convenience wrapper marking a partially observed series: returns
+    (filled_values, observation_mask) with NaNs as the missing marker."""
+    import numpy as np
+
+    arr = np.asarray(data, np.float32)
+    finite = np.isfinite(arr)
+    return (
+        jnp.asarray(np.where(finite, arr, 0.0).astype(np.float32)),
+        jnp.asarray(finite.astype(np.float32)),
+    )

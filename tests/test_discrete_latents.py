@@ -1,0 +1,134 @@
+"""Discrete-latent inference: BlackBox SVI end-to-end + exact enumeration
+(VERDICT r1 missing #4 / next-round #6)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import brancher_tpu.functions as BF
+from brancher_tpu import (
+    BernoulliVariable,
+    CategoricalVariable,
+    DeterministicVariable,
+    NormalVariable,
+    ProbabilisticModel,
+)
+from brancher_tpu.inference import perform_inference, sample, NUTS
+from brancher_tpu.inference.svi import ReverseKL
+from brancher_tpu.inference.gradient_estimators import BlackBoxEstimator
+
+
+def _posterior_b1(obs, prior=0.5, sigma=0.5):
+    """Exact p(b=1 | x) for x ~ N(4b-2, sigma)."""
+    from scipy.stats import norm
+
+    l1 = norm.pdf(obs, 2.0, sigma) * prior
+    l0 = norm.pdf(obs, -2.0, sigma) * (1 - prior)
+    return l1 / (l1 + l0)
+
+
+def test_blackbox_svi_bernoulli_latent(key):
+    """A Bernoulli latent trained end-to-end through a DSL guide with the
+    score-function estimator recovers the exact posterior probability."""
+    b = BernoulliVariable(0.5, name="b")
+    x = NormalVariable(4.0 * b - 2.0, 0.5, "x")
+    obs = 1.0
+    x.observe(jnp.asarray(obs))
+    p_model = ProbabilisticModel([x])
+
+    qlogit = DeterministicVariable(jnp.asarray(0.0), "qlogit", learnable=True)
+    qb = BernoulliVariable(logits=qlogit, name="b")
+    q_model = ProbabilisticModel([qb])
+
+    res = perform_inference(
+        p_model,
+        posterior_model=q_model,
+        number_iterations=1500,
+        number_samples=64,
+        lr=0.05,
+        inference_method=ReverseKL(BlackBoxEstimator()),
+        key=key,
+    )
+    p_hat = float(jax.nn.sigmoid(res.params["q"]["qlogit"]))
+    p_true = _posterior_b1(obs)
+    assert abs(p_hat - p_true) < 0.07, (p_hat, p_true)
+
+
+def _mixture_model(data, k=2):
+    n = data.shape[0]
+    mu = NormalVariable(jnp.zeros(k), 3.0 * jnp.ones(k), "mu")
+    z = CategoricalVariable(probs=jnp.ones(k) / k, name="z", plate_shape=(n,))
+    x = NormalVariable(BF.take(mu, z), 0.5, "x")
+    x.observe(jnp.asarray(data))
+    return ProbabilisticModel([x])
+
+
+def _make_mixture_data(n=40, seed=0):
+    rng = np.random.RandomState(seed)
+    comp = rng.randint(0, 2, n)
+    mus = np.asarray([-2.0, 2.0])
+    return (mus[comp] + 0.5 * rng.normal(size=n)).astype(np.float32), comp
+
+
+def test_enum_factorization_check():
+    data, _ = _make_mixture_data()
+    comp = _mixture_model(data).compiled()
+    assert comp.check_enum_factorization(comp.initial_params)
+
+
+def test_enumerated_log_density_matches_bruteforce(key):
+    """Exact check on a small mixture: enumeration == brute-force sum."""
+    data, _ = _make_mixture_data(n=6, seed=1)
+    comp = _mixture_model(data).compiled()
+    params = comp.initial_params
+    z = {"mu": jnp.asarray([-1.5, 1.2])}
+    got = float(comp.enumerated_log_density(params, z))
+    # brute force over all 2^6 assignments
+    import itertools
+
+    vals = []
+    for assign in itertools.product([0, 1], repeat=6):
+        d = jnp.asarray(assign, jnp.int32)
+        vals.append(float(comp.log_density_z(params, z, {"z": d})))
+    expect = float(jax.scipy.special.logsumexp(jnp.asarray(vals)))
+    assert abs(got - expect) < 1e-3, (got, expect)
+
+
+def test_enumerated_nuts_mixture_assignments(key):
+    """NUTS over the marginalized density recovers component means AND the
+    per-point assignment posterior — without Mixture's manual
+    marginalization (VERDICT r1 #6 'done' criterion)."""
+    data, true_comp = _make_mixture_data(n=40, seed=0)
+    model = _mixture_model(data)
+    res = sample(model, kernel=NUTS(max_depth=8), num_samples=400,
+                 num_warmup=400, num_chains=4, key=key,
+                 enumerate_discrete=True)
+    mu = np.asarray(res.samples["mu"]).reshape(-1, 2)
+    # the mixture posterior is permutation-symmetric (label switching
+    # across chains): order each draw before averaging
+    mu_sorted = np.sort(mu, axis=1).mean(0)
+    assert abs(mu_sorted[0] + 2.0) < 0.2, mu_sorted
+    assert abs(mu_sorted[1] - 2.0) < 0.2, mu_sorted
+
+    # responsibilities at the (ordered) posterior mean point
+    comp = model.compiled()
+    zhat = {"mu": jnp.asarray(mu_sorted)}
+    _, resp = comp.enumerated_log_density(
+        comp.initial_params, zhat, return_responsibilities=True)
+    hard = np.asarray(jnp.argmax(resp["z"], axis=-1))
+    acc = max((hard == true_comp).mean(), (1 - hard == true_comp).mean())
+    assert acc > 0.95, acc
+
+
+def test_enumerated_svi_mixture(key):
+    """Mean-field SVI over mu with enumerated discrete latents."""
+    data, _ = _make_mixture_data(n=40, seed=0)
+    model = _mixture_model(data)
+    res = perform_inference(
+        model, number_iterations=800, number_samples=8, lr=0.05,
+        inference_method=ReverseKL(enumerate_discrete=True), key=key,
+    )
+    zs, _ = res.guide.sample_and_log_prob(res.params["q"],
+                                          jax.random.PRNGKey(1), 200)
+    mu_sorted = np.sort(np.asarray(zs["mu"]), axis=1).mean(0)
+    assert abs(mu_sorted[0] + 2.0) < 0.3, mu_sorted
+    assert abs(mu_sorted[1] - 2.0) < 0.3, mu_sorted

@@ -66,3 +66,43 @@ def test_ar1_nuts_recovers_parameters(key):
     assert abs(c - 0.7) < 0.12, c
     assert abs(s - 0.3) < 0.05, s
     assert int(res.diagnostics["num_divergences"]) == 0
+
+
+def test_observe_timeseries_missing_data(key):
+    """AR(1) inference with NaN gaps: masked terms drop out, parameters
+    are still recovered from the observed stretches (ROADMAP r1 #12)."""
+    from brancher_tpu.models.autoregressive import make_ar_data
+    from brancher_tpu.standard_variables import LogNormalVariable, NormalVariable
+    from brancher_tpu.stochastic_processes import ARProcess, observe_timeseries
+    from brancher_tpu.variables import ProbabilisticModel
+    from brancher_tpu.inference import NUTS, sample
+
+    data = make_ar_data(length=600, coeffs=(0.7,), noise=0.3, seed=0).copy()
+    rng = np.random.RandomState(1)
+    holes = rng.choice(600, size=60, replace=False)
+    data[holes] = np.nan
+
+    coeffs = NormalVariable(np.zeros(1, np.float32), 0.5 * np.ones(1, np.float32), "coeffs")
+    noise = LogNormalVariable(-1.0, 0.5, "noise_scale")
+    series = ARProcess(len(data), coeffs, noise, name="series", order=1,
+                       init_loc=0.0, init_scale=1.0)
+    observe_timeseries(series, data)
+    model = ProbabilisticModel([series])
+
+    res = sample(model, kernel=NUTS(max_depth=8), num_samples=400,
+                 num_warmup=400, num_chains=4, key=key)
+    c = float(jnp.mean(res.samples["coeffs"]))
+    n = float(jnp.mean(res.samples["noise_scale"]))
+    assert abs(c - 0.7) < 0.1, c
+    assert abs(n - 0.3) < 0.05, n
+    assert float(res.diagnostics["num_divergences"]) == 0
+    # a NaN anywhere in the likelihood would poison everything
+    assert np.isfinite(c) and np.isfinite(n)
+
+
+def test_timeseries_helper_masks():
+    from brancher_tpu.stochastic_processes import Timeseries
+
+    vals, mask = Timeseries(np.asarray([1.0, np.nan, 3.0], np.float32))
+    np.testing.assert_array_equal(np.asarray(mask), [1.0, 0.0, 1.0])
+    np.testing.assert_array_equal(np.asarray(vals), [1.0, 0.0, 3.0])

@@ -1,0 +1,85 @@
+# %% [markdown]
+# # Variational autoencoder: neural networks inside the DSL
+#
+# The reference's flagship deep-generative example (BASELINE config #5):
+# flax modules lift into the graph through `BF.BrancherFunction`, the
+# encoder reads the same minibatch variable the likelihood is conditioned
+# on (amortization by construction), and the whole training loop compiles
+# to ONE jitted `lax.scan`.
+
+# %%
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+
+if jax.default_backend() not in ("tpu",):
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+FAST = bool(int(os.environ.get("TUTORIAL_FAST", "0")))
+
+# %% [markdown]
+# ## 1. Model + amortized guide
+#
+# `vae_model` builds p and q: `z ~ N(0, I)`; `x ~ Bernoulli(dec(z))`
+# observed through a minibatch loader; `q(z|x) = N(enc_mu(x),
+# exp(enc_logsig(x)))`.  Both per-datapoint terms carry the N/B scale so
+# the minibatch ELBO is unbiased for the full dataset.
+
+# %%
+from brancher_tpu.models.vae import VAEConfig, make_vae_data, vae_model
+from brancher_tpu.inference import perform_inference
+
+data = make_vae_data(num_points=1024 if FAST else 4096, obs_dim=64)
+p_model, q_model = vae_model(
+    data, VAEConfig(latent_dim=8, hidden_dim=64 if FAST else 128,
+                    batch_size=128)
+)
+print(p_model)
+
+# %% [markdown]
+# ## 2. Train
+#
+# The guide was attached with `set_posterior_model`, so
+# `perform_inference` uses it automatically; flax parameters of encoder
+# and decoder register lazily in the ParamStore and train together.
+
+# %%
+res = perform_inference(
+    p_model,
+    number_iterations=200 if FAST else 1500,
+    number_samples=4,
+    lr=1e-3,
+    key=jax.random.PRNGKey(0),
+)
+print(f"-ELBO: {res.loss_curve[0]:.0f} -> {res.loss_curve[-1]:.0f}")
+assert res.loss_curve[-1] < res.loss_curve[0]
+
+# %% [markdown]
+# ## 3. Reconstruction check
+#
+# Push a batch through the trained encoder mean and decoder and compare
+# against the inputs.
+
+# %%
+import flax.linen  # noqa: F401  (flax is the NN library in play)
+
+enc_params = res.params["q"]["enc_mu__params"]
+dec_params = res.params["p"]["decoder__params"]
+enc_mod = q_model.get_variable("z").links["loc"]
+# evaluate through the compiled closures instead: sample the posterior
+post = p_model.get_posterior_sample_dict(
+    64, key=jax.random.PRNGKey(1),
+    params={"p": res.params["p"], "q": res.params["q"]},
+)
+xb, xhat = np.asarray(post["xb"]), np.asarray(post["x"])
+agree = (xhat.round() == xb).mean()
+print(f"reconstruction agreement on a fresh minibatch: {agree:.2%}")
+
+# %% [markdown]
+# On one TPU v5e chip the compiled loop runs ~15k ELBO steps/sec at
+# B=256 (about 65× the same model in eager PyTorch on CPU — BASELINE.md).
+# With a mesh, pass `mesh=batch_mesh()` to shard the Monte-Carlo ELBO
+# batch across devices (`psum` mean reduction over ICI).
