@@ -133,11 +133,29 @@ class CompiledModel:
     def _expand_plate(self, v: RandomVariable, params: Dict[str, Array]) -> Dict[str, Array]:
         if not v.plate_shape:
             return params
-        if v.distribution.event_ndim != 0:
-            raise NotImplementedError("plate_shape on event-valued distributions")
-        shape = jnp.broadcast_shapes(*(jnp.shape(p) for p in params.values())) if params else ()
-        target = tuple(v.plate_shape) + tuple(shape)
-        return {k: jnp.broadcast_to(p, target) for k, p in params.items()}
+        dist = v.distribution
+        plate = tuple(v.plate_shape)
+        if dist.event_ndim == 0:
+            shape = jnp.broadcast_shapes(*(jnp.shape(p) for p in params.values())) if params else ()
+            target = plate + tuple(shape)
+            return {k: jnp.broadcast_to(p, target) for k, p in params.items()}
+        # event-valued distributions (MVN, Dirichlet, Concrete, ...): each
+        # parameter keeps its own event suffix; batch prefixes broadcast
+        # to a common shape, then everything tiles across the plate
+        evr = dict(getattr(dist, "param_event_ndims", {}) or {})
+        batch_shapes = []
+        for k, p in params.items():
+            r = evr.get(k, dist.event_ndim)
+            sp = jnp.shape(p)
+            batch_shapes.append(sp[: len(sp) - r] if r else sp)
+        common = jnp.broadcast_shapes(*batch_shapes) if batch_shapes else ()
+        out = {}
+        for k, p in params.items():
+            r = evr.get(k, dist.event_ndim)
+            sp = jnp.shape(p)
+            ev = sp[len(sp) - r:] if r else ()
+            out[k] = jnp.broadcast_to(p, plate + tuple(common) + tuple(ev))
+        return out
 
     def _rv_log_prob(self, v: RandomVariable, value, dist_params) -> Array:
         mask = getattr(v, "log_prob_mask", None)

@@ -56,6 +56,10 @@ class Distribution:
     """Base class: a named bundle of pure kernels (no state)."""
 
     param_names: tuple = ()
+    # event rank PER PARAMETER (defaults to event_ndim for every param);
+    # lets plate expansion broadcast e.g. an MVN's [d] loc and [d,d]
+    # scale_tril consistently
+    param_event_ndims: dict = {}
     reparameterized: bool = False
     is_discrete: bool = False
     support: str = REAL
@@ -505,6 +509,7 @@ class Concrete(Distribution):
     """
 
     param_names = ("temperature", "logits")
+    param_event_ndims = {"temperature": 0, "logits": 1}
     reparameterized = True
     support = SIMPLEX
     event_ndim = 1
@@ -539,6 +544,7 @@ class MultivariateNormal(Distribution):
     """
 
     param_names = ("loc", "covariance_matrix", "scale_tril")
+    param_event_ndims = {"loc": 1, "covariance_matrix": 2, "scale_tril": 2}
     reparameterized = True
     support = REAL
     event_ndim = 1
@@ -635,7 +641,10 @@ class Empirical(Distribution):
         return jnp.take(dataset, idx, axis=0)
 
     def log_prob(self, value, *, dataset, indices=None):
-        return jnp.zeros(())
+        # a deterministic data draw given indices: density-free.  Return a
+        # ZERO PER ROW (not a bare scalar) so masked/summed semantics and
+        # shape bookkeeping stay consistent with the value's shape.
+        return jnp.zeros(jnp.shape(value)[:1] if jnp.ndim(value) else ())
 
 
 class RandomIndices(Distribution):

@@ -26,4 +26,11 @@ from .mcmc import sample, MCMCResult
 from .chees import ChEESHMC, chees_hmc
 from .smc import smc_sample, SMCResult
 from .tempered_smc import smc_posterior_sample, tempered_smc, TemperedSMCResult
-from .diagnostics import effective_sample_size, potential_scale_reduction
+from .diagnostics import (
+    effective_sample_size,
+    folded_rhat,
+    max_rhat,
+    potential_scale_reduction,
+    rank_normalized_rhat,
+)
+from .pmmh import PMMHResult, pmmh_sample

@@ -174,6 +174,9 @@ def chees_hmc(
         if leapfrog_fn is not None:
             z1, r1, val1, grad1 = leapfrog_fn(z, r0, grad, eps, inv_mass, n_steps)
         else:
+            # NOTE: a chunked-while variant (scan-of-8 inside the while)
+            # was tried in round 2 and compiled >8 minutes cold on the
+            # axon backend — the plain traced-bound fori stays
             def leap(i, carry):
                 z, r, val, grad = carry
                 r = r + 0.5 * eps * grad

@@ -86,3 +86,43 @@ def potential_scale_reduction(samples) -> np.ndarray:
     var_plus = (n - 1.0) / n * w + b / n
     rhat = np.sqrt(var_plus / w)
     return rhat.reshape(x.shape[2:]) if in_ndim > 2 else np.squeeze(rhat)
+
+
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Average-rank normal-quantile transform over ALL draws (Vehtari et
+    al. 2021 §3): pooled fractional ranks -> Phi^{-1}."""
+    from scipy.special import ndtri
+
+    chains, draws = x.shape[0], x.shape[1]
+    flat = x.reshape(chains * draws, -1)
+    order = np.argsort(flat, axis=0)
+    ranks = np.empty_like(flat)
+    rng_idx = np.arange(flat.shape[0])[:, None]
+    np.put_along_axis(ranks, order, rng_idx.astype(flat.dtype) + 1.0, axis=0)
+    frac = (ranks - 0.375) / (flat.shape[0] + 0.25)  # Blom offsets
+    return ndtri(frac).reshape(x.shape)
+
+
+def rank_normalized_rhat(samples) -> np.ndarray:
+    """Rank-normalized split R-hat (Vehtari, Gelman, Simpson, Carpenter,
+    Bürkner 2021): robust to heavy tails and location-invariant — the
+    modern default convergence diagnostic (ROADMAP r1 #10)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    return potential_scale_reduction(_rank_normalize(x))
+
+
+def folded_rhat(samples) -> np.ndarray:
+    """Rank-normalized split R-hat of |x - median|: detects chains that
+    agree in location but differ in SCALE (ibid. §3.2)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    folded = np.abs(x - np.median(x, axis=(0, 1), keepdims=True))
+    return potential_scale_reduction(_rank_normalize(folded))
+
+
+def max_rhat(samples) -> np.ndarray:
+    """max(rank-normalized, folded) — the value to threshold (< 1.01)."""
+    return np.maximum(rank_normalized_rhat(samples), folded_rhat(samples))

@@ -1,0 +1,122 @@
+"""Particle-marginal Metropolis-Hastings (PMMH): parameter inference in
+state-space models (the SMC^2 / particle-MCMC capability, ROADMAP r1 #8).
+
+Andrieu, Doucet & Holenstein (2010): a Metropolis chain over parameters
+theta whose likelihood is the particle filter's UNBIASED marginal
+estimate p_hat(y | theta) — exact posterior over theta despite the noisy
+likelihood (pseudo-marginal argument).
+
+TPU-first structure: the theta chains are vmapped, so every MCMC step
+runs `num_chains` complete particle filters as ONE batched tensor
+program ([C] chains x [P] particles x scan over T).  Random-walk
+proposal scale adapts during warmup by Robbins-Monro toward the 0.234
+optimum.  The whole run is one jitted scan.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .smc import StateSpace, particle_filter
+
+Array = jax.Array
+
+
+class PMMHResult(NamedTuple):
+    thetas: Array  # [C, S, D]
+    log_marginals: Array  # [C, S]
+    accept_rate: Array  # scalar
+    proposal_scale: Array  # [D]
+
+
+def pmmh_sample(
+    make_ssm: Callable[[Array], StateSpace],
+    ys: Array,
+    log_prior: Callable[[Array], Array],
+    theta0: Array,
+    num_samples: int = 500,
+    num_warmup: int = 300,
+    num_particles: int = 256,
+    num_chains: int = 8,
+    key: Optional[Array] = None,
+    init_proposal_scale: float = 0.1,
+    target_accept: float = 0.234,
+    ess_threshold: float = 0.5,
+) -> PMMHResult:
+    """make_ssm(theta [D]) -> StateSpace built from traced theta.
+
+    theta0: [D] or [C, D] initial parameter points (chains jitter around
+    a single point automatically).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ys = jnp.asarray(ys)
+    theta0 = jnp.atleast_1d(jnp.asarray(theta0, jnp.float32))
+    d = theta0.shape[-1]
+    k_init, k_run = jax.random.split(key)
+    if theta0.ndim == 1:
+        theta0 = theta0[None, :] + 0.01 * jax.random.normal(
+            k_init, (num_chains, d)
+        )
+
+    def loglik(theta, k):
+        res = particle_filter(
+            make_ssm(theta), ys, num_particles, k, ess_threshold=ess_threshold
+        )
+        return res.log_marginal
+
+    loglik_batch = jax.vmap(loglik)
+
+    def step(carry, inp):
+        theta, ll, lp, log_scale = carry
+        k, t, warm = inp
+        k_prop, k_pf, k_acc = jax.random.split(jax.random.fold_in(k_run, t), 3)
+        scale = jnp.exp(log_scale)
+        prop = theta + scale[None, :] * jax.random.normal(
+            k_prop, theta.shape, theta.dtype
+        )
+        lp_new = jax.vmap(log_prior)(prop)
+        ll_new = loglik_batch(prop, jax.random.split(k_pf, theta.shape[0]))
+        log_ratio = (ll_new + lp_new) - (ll + lp)
+        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        accept = jnp.log(
+            jax.random.uniform(k_acc, (theta.shape[0],))
+        ) < log_ratio
+        theta = jnp.where(accept[:, None], prop, theta)
+        ll = jnp.where(accept, ll_new, ll)
+        lp = jnp.where(accept, lp_new, lp)
+        # Robbins-Monro scale adaptation during warmup only
+        acc_rate = jnp.mean(jnp.minimum(1.0, jnp.exp(log_ratio)))
+        log_scale = jnp.where(
+            warm, log_scale + 0.05 * (acc_rate - target_accept), log_scale
+        )
+        return (theta, ll, lp, log_scale), (theta, ll, accept)
+
+    total = num_warmup + num_samples
+    ll0 = loglik_batch(theta0, jax.random.split(jax.random.fold_in(k_run, total + 1),
+                                                theta0.shape[0]))
+    lp0 = jax.vmap(log_prior)(theta0)
+    ts = jnp.arange(total)
+    warm_flags = ts < num_warmup
+    keys = jax.random.split(k_run, total)
+
+    @jax.jit
+    def run(theta0, ll0, lp0):
+        carry0 = (theta0, ll0, lp0,
+                  jnp.full((d,), jnp.log(init_proposal_scale), jnp.float32))
+        (theta, ll, lp, log_scale), (thetas, lls, accepts) = jax.lax.scan(
+            step, carry0, (keys, ts, warm_flags)
+        )
+        return thetas, lls, accepts, jnp.exp(log_scale)
+
+    thetas, lls, accepts, scale = run(theta0, ll0, lp0)
+    thetas = jnp.swapaxes(thetas[num_warmup:], 0, 1)  # [C, S, D]
+    lls = jnp.swapaxes(lls[num_warmup:], 0, 1)
+    return PMMHResult(
+        thetas=thetas,
+        log_marginals=lls,
+        accept_rate=jnp.mean(accepts[num_warmup:]),
+        proposal_scale=scale,
+    )

@@ -98,8 +98,18 @@ def nuts_transition_batched(
     key: Array,
     max_depth: int = 10,
     max_delta_energy: float = 1000.0,
+    chunk: int = 1,
 ):
-    """One NUTS draw for all chains.  value/grad are of the LOG posterior."""
+    """One NUTS draw for all chains.  value/grad are of the LOG posterior.
+
+    chunk: leaf iterations executed per while-loop step as one unrolled
+    ``lax.scan``.  Exact for any value (every per-chain update is masked
+    by the active/live flags and the n < max_n budget gate), but MEASURED
+    SLOWER than chunk=1 at bench scale on the current backend (6.15 s vs
+    3.67 s sampler time, and ~6x slower cold compile — round 2,
+    scripts/exp_nuts_chunk.py), so the default stays 1; kept as a tuning
+    knob for backends where while-iteration overhead dominates.
+    """
     c, d = z.shape
     dtype = z.dtype
     kdim = max_depth + 1
@@ -175,7 +185,11 @@ def nuts_transition_batched(
         h = jnp.where(jnp.isnan(h), jnp.inf, h)
         lw_leaf = h0 - h
         dvg = (h - h0) > max_delta_energy
-        live = jnp.logical_and(s.active, jnp.logical_not(s_failed))
+        # chunked execution can overshoot the leaf budget by < chunk
+        # iterations; out-of-range leaves must be complete no-ops
+        live = jnp.logical_and(
+            jnp.logical_and(s.active, jnp.logical_not(s_failed)), n < max_n
+        )
 
         acc = jnp.exp(jnp.minimum(lw_leaf, 0.0))
         sum_acc = s.sum_acc + jnp.where(live, acc, 0.0)
@@ -272,7 +286,15 @@ def nuts_transition_batched(
             sum_acc=sum_acc, cnt=cnt,
         )
 
-    s = jax.lax.while_loop(cond, body, s0)
+    if chunk > 1:
+        def chunk_body(s: _S) -> _S:
+            s, _ = jax.lax.scan(lambda ss, _: (body(ss), None), s, None,
+                                length=chunk)
+            return s
+
+        s = jax.lax.while_loop(cond, chunk_body, s0)
+    else:
+        s = jax.lax.while_loop(cond, body, s0)
 
     accept_prob = s.sum_acc / jnp.maximum(s.cnt, 1.0)
     return (
@@ -293,6 +315,7 @@ def nuts_batched(
     max_delta_energy: float = 1000.0,
     axis_name=None,
     inv_mass0=None,
+    chunk: int = 1,
 ) -> VectorizedNUTSResult:
     """Full vectorized-NUTS run with shared warmup adaptation."""
     c, d = z0.shape
@@ -305,6 +328,7 @@ def nuts_batched(
         return nuts_transition_batched(
             value_and_grad_fn, z, val, grad, eps, inv_mass, k,
             max_depth=max_depth, max_delta_energy=max_delta_energy,
+            chunk=chunk,
         )
 
     def warmup_body(carry, xs):

@@ -68,8 +68,9 @@ def main():
     print(
         f"RESULT engine={eng} argv={sys.argv[2:]} "
         f"first={t1-t0:.1f}s cached={t2-t1:.1f}s "
+        f"sampler={float(res.diagnostics['sampler_seconds']):.2f}s "
         f"minESS={float(np.min(ess)):.0f} cap={chains*draws} "
-        f"ess/s={float(np.min(ess))/(t2-t1):.0f} "
+        f"ess/s={float(np.min(ess))/float(res.diagnostics['sampler_seconds']):.0f} "
         f"div={int(res.diagnostics['num_divergences'])} "
         f"acc={float(res.diagnostics['mean_accept_prob']):.3f}",
         flush=True,

@@ -1,0 +1,27 @@
+"""Direct chunk-size sweep for vectorized NUTS on the real TPU."""
+import os, sys, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+import numpy as np
+from brancher_tpu.models.logistic_regression import make_logreg_data
+from brancher_tpu.ops.pallas_logreg import logreg_value_and_grad_pallas
+from brancher_tpu.inference.vectorized_nuts import nuts_batched
+
+C, D, N = 1024, 32, 1000
+x, y, _ = make_logreg_data(num_points=N, dim=D, seed=0)
+xj, yj = jnp.asarray(x), jnp.asarray(np.asarray(y, np.float32))
+vg = lambda w: logreg_value_and_grad_pallas(w, xj, yj, 1.0)
+z0 = jax.random.uniform(jax.random.PRNGKey(1), (C, D), minval=-2, maxval=2)
+
+for chunk in (1, 2, 4, 8):
+    f = jax.jit(lambda k: nuts_batched(vg, z0, 100, 200, k, max_depth=8,
+                                       init_step_size=0.2, chunk=chunk))
+    r = jax.block_until_ready(f(jax.random.PRNGKey(0)).samples)
+    t0 = time.time()
+    r = f(jax.random.PRNGKey(0))
+    jax.block_until_ready(r.samples)
+    dt = time.time() - t0
+    n_lf = int(np.sum(np.asarray(r.num_leapfrog)))
+    print(f"chunk={chunk}: {dt:.2f}s for 300 draws, draw-iters={n_lf} "
+          f"({dt/max(n_lf,1)*1e6:.0f} us/iter incl warmup)", flush=True)

@@ -45,3 +45,28 @@ def test_ess_multidim_shape(key):
     x = jax.random.normal(key, (2, 300, 5))
     ess = effective_sample_size(x)
     assert ess.shape == (5,)
+
+
+def test_rank_normalized_rhat_heavy_tails(key):
+    """Rank normalization keeps R-hat meaningful for Cauchy-like draws,
+    and the folded variant catches scale mismatches plain R-hat misses."""
+    import numpy as np
+    from brancher_tpu.inference.diagnostics import (
+        folded_rhat, max_rhat, rank_normalized_rhat,
+    )
+
+    rng = np.random.RandomState(0)
+    good = rng.standard_cauchy(size=(4, 2000))
+    assert float(rank_normalized_rhat(good)) < 1.01
+    assert float(max_rhat(good)) < 1.02
+
+    # same location, different scales: folded R-hat must flag it
+    scale_mix = np.concatenate(
+        [rng.normal(0, 1, size=(2, 2000)), rng.normal(0, 5, size=(2, 2000))]
+    )
+    assert float(folded_rhat(scale_mix)) > 1.1
+    # location shift flagged by the rank-normalized variant
+    loc_mix = np.concatenate(
+        [rng.normal(0, 1, size=(2, 2000)), rng.normal(3, 1, size=(2, 2000))]
+    )
+    assert float(rank_normalized_rhat(loc_mix)) > 1.5

@@ -1,0 +1,70 @@
+"""Particle-marginal MH: parameter inference in SSMs (ROADMAP r1 #8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu.inference.pmmh import pmmh_sample
+from brancher_tpu.inference.smc import StateSpace
+from brancher_tpu.models.state_space import (
+    LGSSMParams, kalman_filter, make_lgssm_data, lgssm_state_space,
+)
+
+
+def _make_ssm(theta):
+    """LGSSM with unknown transition coefficient a = tanh(theta) (keeps
+    |a|<1); all other parameters fixed at the truth."""
+    a = jnp.tanh(theta[0])
+    p = LGSSMParams()
+
+    return StateSpace(
+        init_sample=lambda k: jnp.sqrt(p.init_var) * jax.random.normal(k, ()),
+        init_log_prob=lambda x: -0.5 * x * x / p.init_var,
+        trans_sample=lambda k, xp, t: a * xp
+        + jnp.sqrt(p.q) * jax.random.normal(k, ()),
+        trans_log_prob=lambda x, xp, t: -0.5 * (x - a * xp) ** 2 / p.q,
+        obs_log_prob=lambda y, x, t: -0.5 * (y - p.c * x) ** 2 / p.r
+        - 0.5 * jnp.log(2 * jnp.pi * p.r),
+    )
+
+
+def _kalman_loglik_grid(ys):
+    """Exact posterior over a on a grid via the Kalman likelihood."""
+    grid = np.linspace(0.5, 0.995, 120)
+    lls = []
+    for a in grid:
+        ll, _, _ = kalman_filter(ys, LGSSMParams(a=float(a)))
+        lls.append(ll)
+    lls = np.asarray(lls)
+    # prior: theta ~ N(0, 1.5^2), a = tanh(theta) => density via change of var
+    theta = np.arctanh(grid)
+    logp = lls - 0.5 * (theta / 1.5) ** 2 - np.log1p(-grid**2)
+    w = np.exp(logp - logp.max())
+    w /= w.sum()
+    mean_a = float((w * grid).sum())
+    sd_a = float(np.sqrt((w * (grid - mean_a) ** 2).sum()))
+    return mean_a, sd_a
+
+
+def test_pmmh_recovers_transition_coefficient(key):
+    params = LGSSMParams(a=0.85)
+    _, ys = make_lgssm_data(length=60, params=params, seed=0)
+    mean_a, sd_a = _kalman_loglik_grid(ys)
+
+    res = pmmh_sample(
+        _make_ssm,
+        jnp.asarray(ys),
+        log_prior=lambda th: -0.5 * jnp.sum((th / 1.5) ** 2),
+        theta0=jnp.asarray([np.arctanh(0.7)], jnp.float32),
+        num_samples=400,
+        num_warmup=200,
+        num_particles=128,
+        num_chains=8,
+        key=key,
+    )
+    a_draws = np.tanh(np.asarray(res.thetas)[..., 0].ravel())
+    assert 0.05 < float(res.accept_rate) < 0.8, float(res.accept_rate)
+    # posterior mean within ~2 posterior sds of the exact (Kalman) answer
+    assert abs(a_draws.mean() - mean_a) < 2.5 * sd_a, (
+        a_draws.mean(), mean_a, sd_a)
+    # spread of the same order as the exact posterior sd
+    assert 0.3 * sd_a < a_draws.std() < 3.5 * sd_a, (a_draws.std(), sd_a)
