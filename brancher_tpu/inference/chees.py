@@ -280,10 +280,11 @@ def chees_hmc(
     if num_warmup > 0:
         keys = jax.random.split(k_warm, num_warmup)
         idxs = jnp.arange(num_warmup, dtype=jnp.int32)
-        carry, _ = jax.lax.scan(
-            warmup_body, carry,
-            (keys, jnp.asarray(in_slow), jnp.asarray(window_end), idxs),
-        )
+        with jax.named_scope("chees_warmup"):
+            carry, _ = jax.lax.scan(
+                warmup_body, carry,
+                (keys, jnp.asarray(in_slow), jnp.asarray(window_end), idxs),
+            )
     (z, val, grad, da, _, _, _, inv_mass, chol, log_traj, _, _, _,
      warmup_leapfrog) = carry
     eps_final = jnp.exp(da.log_step_avg) if num_warmup > 0 else jnp.asarray(init_step_size, dtype)

@@ -341,6 +341,7 @@ def sample(
     fused_potential: str = "auto",
     fused_leapfrog: bool = False,
     enumerate_discrete: bool = False,
+    mass: str = "diag",
     resume_state: Optional[Dict[str, Array]] = None,
     init_strategy: str = "uniform",
 ) -> MCMCResult:
@@ -479,10 +480,59 @@ def sample(
 
     if chain_method not in ("vectorized", "vmap", "shard_map"):
         raise ValueError(f"unknown chain_method {chain_method!r}")
+    if mass not in ("diag", "dense"):
+        raise ValueError(f"unknown mass {mass!r}")
+    if mass == "dense" and chain_method != "vectorized":
+        raise ValueError("mass='dense' requires chain_method='vectorized'")
+    if mass == "dense" and resume_state is not None:
+        raise ValueError("mass='dense' does not support resume_state yet")
     import time as _time
 
     _t_engine = _time.time()
-    if chain_method == "vectorized":
+    if chain_method == "vectorized" and mass == "dense" and num_warmup > 0:
+        # Dense mass via PRECONDITIONING (ROADMAP r1 #7): stage A runs a
+        # short diagonal-mass warmup to estimate the posterior covariance
+        # Sigma; stage B samples in whitened coordinates z = mu + zt @ L.T
+        # (Sigma = L L.T), where the posterior metric is ~identity — the
+        # engines themselves stay diagonal.  Exactly equivalent to dense-
+        # mass HMC up to the affine reparameterization.
+        warm_a = max(num_warmup // 2, 50)
+        draws_a = max(min(num_samples, 200), 50)
+        k_a, k_b = jax.random.split(k_run)
+        zsA, _, infoA = _run_vectorized(
+            kernel, potential_fn, value_and_grad_fn, z0, warm_a, draws_a,
+            k_a, target_accept, init_step_size, mesh, chain_axis,
+            inv_mass0=inv_mass0, adapt_step_size=adapt_step_size,
+        )
+        flatA = zsA.reshape(-1, zsA.shape[-1])
+        mu_c = jnp.mean(flatA, axis=0)
+        dim = flatA.shape[-1]
+        cov = jnp.cov(flatA.T).reshape(dim, dim) + 1e-6 * jnp.eye(dim)
+        L = jnp.linalg.cholesky(cov)
+
+        def potential_t(zt_flat):
+            return potential_fn(mu_c + L @ zt_flat)
+
+        vg_t = None
+        if value_and_grad_fn is not None:
+            base_vg = value_and_grad_fn
+
+            def vg_t(zt):  # [C, d] whitened -> (val, grad in whitened coords)
+                v, g = base_vg(mu_c[None, :] + zt @ L.T)
+                return v, g @ L
+
+        zt0 = jax.scipy.linalg.solve_triangular(
+            L, (zsA[:, -1] - mu_c[None, :]).T, lower=True
+        ).T
+        zs_t, stats, info = _run_vectorized(
+            kernel, potential_t, vg_t, zt0, num_warmup - warm_a,
+            num_samples, k_b, target_accept, init_step_size, mesh,
+            chain_axis, adapt_step_size=adapt_step_size,
+        )
+        zs = mu_c[None, None, :] + jnp.einsum("csd,ed->cse", zs_t, L)
+        info = dict(info)
+        info["inv_mass"] = cov  # report the dense metric actually used
+    elif chain_method == "vectorized":
         zs, stats, info = _run_vectorized(
             kernel, potential_fn, value_and_grad_fn, z0, num_warmup,
             num_samples, k_run, target_accept, init_step_size, mesh,

@@ -361,10 +361,11 @@ def nuts_batched(
              jnp.zeros((), dtype), inv_mass, jnp.zeros((), jnp.int32))
     if num_warmup > 0:
         keys = jax.random.split(k_warm, num_warmup)
-        carry, _ = jax.lax.scan(
-            warmup_body, carry,
-            (keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
-        )
+        with jax.named_scope("nuts_warmup"):
+            carry, _ = jax.lax.scan(
+                warmup_body, carry,
+                (keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
+            )
     z, val, grad, da, _, _, _, inv_mass, warmup_leapfrog = carry
     eps_final = (
         jnp.exp(da.log_step_avg) if num_warmup > 0
@@ -377,7 +378,9 @@ def nuts_batched(
         return (z, val, grad), (z, ap, dvg, n_leaps)
 
     keys = jax.random.split(k_samp, num_samples)
-    _, (zs, aps, dvgs, n_leaps) = jax.lax.scan(sample_body, (z, val, grad), keys)
+    with jax.named_scope("nuts_sampling"):
+        _, (zs, aps, dvgs, n_leaps) = jax.lax.scan(
+            sample_body, (z, val, grad), keys)
     return VectorizedNUTSResult(
         samples=jnp.swapaxes(zs, 0, 1),
         accept_prob=jnp.swapaxes(aps, 0, 1),

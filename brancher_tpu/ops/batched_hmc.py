@@ -133,10 +133,11 @@ def hmc_batched(
              jnp.zeros((), dtype), inv_mass)
     if num_warmup > 0:
         keys = jax.random.split(k_warm, num_warmup)
-        carry, _ = jax.lax.scan(
-            warmup_body, carry,
-            (keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
-        )
+        with jax.named_scope("hmc_warmup"):
+            carry, _ = jax.lax.scan(
+                warmup_body, carry,
+                (keys, jnp.asarray(in_slow), jnp.asarray(window_end)),
+            )
     z, val, grad, da, _, _, _, inv_mass = carry
     eps_final = jnp.exp(da.log_step_avg) if num_warmup > 0 else jnp.asarray(init_step_size, dtype)
 
