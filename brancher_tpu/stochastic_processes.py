@@ -307,3 +307,132 @@ def Timeseries(data):
         jnp.asarray(np.where(finite, arr, 0.0).astype(np.float32)),
         jnp.asarray(finite.astype(np.float32)),
     )
+
+
+class GaussianHMM(Distribution):
+    """Hidden Markov model with Gaussian emissions, latent states summed
+    out EXACTLY by the forward algorithm (one `lax.scan` over time whose
+    body is a [K]x[K,K] matvec — MXU/VPU work, numerically stable in log
+    space).  This covers the discrete-CHAIN case that element-wise
+    enumeration (compiler.enumerated_log_density) cannot: interacting
+    discrete latents along time.
+
+    Parameters (all may be links — priors over them make the HMM fully
+    NUTS-able since the discrete states never enter the sampler):
+      init_logits [K], trans_logits [K, K] (rows normalize), locs [K],
+      scales [K].
+    """
+
+    param_names = ("init_logits", "trans_logits", "locs", "scales")
+    param_event_ndims = {"init_logits": 1, "trans_logits": 2,
+                         "locs": 1, "scales": 1}
+    reparameterized = False
+    support = REAL
+    event_ndim = 1
+
+    def __init__(self, length: int):
+        self.length = int(length)
+
+    def sample(self, key, *, init_logits, trans_logits, locs, scales):
+        k_s0, k_scan = jax.random.split(key)
+        s0 = jax.random.categorical(k_s0, init_logits)
+
+        def step(s, k):
+            k_tr, k_em = jax.random.split(k)
+            y = locs[s] + scales[s] * jax.random.normal(k_em, ())
+            s_next = jax.random.categorical(k_tr, trans_logits[s])
+            return s_next, y
+
+        keys = jax.random.split(k_scan, self.length)
+        _, ys = jax.lax.scan(step, s0, keys)
+        return ys
+
+    def log_prob(self, value, *, init_logits, trans_logits, locs, scales):
+        """Forward algorithm in log space; returns a per-SERIES scalar
+        (event_ndim=1: the time axis is the event)."""
+        log_init = jax.nn.log_softmax(init_logits)
+        log_trans = jax.nn.log_softmax(trans_logits, axis=-1)  # [K, K]
+
+        def emis(y):  # [K] per-state emission log-densities
+            return (
+                -0.5 * ((y - locs) / scales) ** 2
+                - jnp.log(scales)
+                - 0.5 * jnp.log(2.0 * jnp.pi)
+            )
+
+        def step(log_alpha, y):
+            # log_alpha [K] -> logsumexp_k (alpha_k + trans_kj) + emis_j(y)
+            la = jax.nn.logsumexp(log_alpha[:, None] + log_trans, axis=0)
+            log_alpha = la + emis(y)
+            return log_alpha, None
+
+        log_alpha0 = log_init + emis(value[0])
+        log_alpha, _ = jax.lax.scan(step, log_alpha0, value[1:])
+        return jax.nn.logsumexp(log_alpha)
+
+    def mean(self, *, init_logits, trans_logits, locs, scales):
+        p = jax.nn.softmax(init_logits)
+        return jnp.full((self.length,), jnp.dot(p, locs))
+
+
+def hmm_posterior_marginals(value, *, init_logits, trans_logits, locs, scales):
+    """Forward-backward smoothing: p(s_t = k | y_{1:T}) as [T, K].
+
+    Companion to GaussianHMM: decode the latent-state posterior at fixed
+    (or posterior-mean) parameters.  Pure scans, jit/vmap-friendly.
+    """
+    log_init = jax.nn.log_softmax(jnp.asarray(init_logits))
+    log_trans = jax.nn.log_softmax(jnp.asarray(trans_logits), axis=-1)
+    locs = jnp.asarray(locs)
+    scales = jnp.asarray(scales)
+    value = jnp.asarray(value)
+
+    def emis(y):
+        return (
+            -0.5 * ((y - locs) / scales) ** 2
+            - jnp.log(scales)
+            - 0.5 * jnp.log(2.0 * jnp.pi)
+        )
+
+    def fwd(log_alpha, y):
+        la = jax.nn.logsumexp(log_alpha[:, None] + log_trans, axis=0) + emis(y)
+        return la, la
+
+    la0 = log_init + emis(value[0])
+    _, log_alphas = jax.lax.scan(fwd, la0, value[1:])
+    log_alphas = jnp.concatenate([la0[None], log_alphas], axis=0)  # [T, K]
+
+    def bwd(log_beta, y):
+        lb = jax.nn.logsumexp(log_trans + (emis(y) + log_beta)[None, :], axis=1)
+        return lb, lb
+
+    k = locs.shape[0]
+    lb_last = jnp.zeros((k,))
+    _, log_betas_rev = jax.lax.scan(bwd, lb_last, value[1:][::-1])
+    log_betas = jnp.concatenate(
+        [log_betas_rev[::-1], lb_last[None]], axis=0
+    )  # [T, K]
+
+    log_post = log_alphas + log_betas
+    return jax.nn.softmax(log_post, axis=-1)
+
+
+def HMMVariable(length, init_logits, trans_logits, locs, scales,
+                name=None):
+    """Gaussian-emission HMM series variable (states marginalized).
+
+    Every parameter position accepts constants, variables or expressions
+    — put priors on locs/scales/transitions and run NUTS directly.
+    """
+    from .variables import RandomVariable
+
+    return RandomVariable(
+        GaussianHMM(length),
+        name=name,
+        links={
+            "init_logits": init_logits,
+            "trans_logits": trans_logits,
+            "locs": locs,
+            "scales": scales,
+        },
+    )
