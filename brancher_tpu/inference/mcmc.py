@@ -292,31 +292,65 @@ def _run_vectorized(
                 "warmup_leapfrog": res.warmup_leapfrog}
         return res.samples, stats, info
 
-    if mesh is None:
-        return jax.jit(lambda z, k: run(z, k, None))(z0, key)
+    # -- memoized jitted runner -------------------------------------------
+    # A fresh `jax.jit(lambda ...)` per call forces a FULL RETRACE of the
+    # engine program on every sample() invocation: measured 4.24 s per
+    # call vs 0.44 s of actual sampling at the benchmark shape (round 2,
+    # scripts/exp_sample_wrapper_cost.py).  Cache the compiled runner on
+    # everything that shapes the traced program.
+    cache_key = (
+        type(kernel).__name__,
+        tuple(sorted((k, repr(v)) for k, v in vars(kernel).items())),
+        int(num_warmup), int(num_samples),
+        float(target_accept), float(init_step_size),
+        bool(adapt_step_size),
+        id(value_and_grad_fn) if value_and_grad_fn is not None else None,
+        id(potential_fn) if value_and_grad_fn is None else None,
+        id(leapfrog_fn) if leapfrog_fn is not None else None,
+        # identity, not shape: inv_mass0 is baked into the traced program
+        # as a closure constant, so different values must retrace
+        None if inv_mass0 is None else id(inv_mass0),
+        jnp.shape(z0), str(jnp.asarray(z0).dtype),
+        None if mesh is None else (id(mesh), chain_axis),
+    )
 
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    def build_runner():
+        if mesh is None:
+            return jax.jit(lambda z, k: run(z, k, None))
 
-    n_dev = mesh.shape[chain_axis]
-    if z0.shape[0] % n_dev != 0:
-        raise ValueError(
-            f"num_chains={z0.shape[0]} must divide over mesh axis "
-            f"{chain_axis!r} of size {n_dev}"
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape[chain_axis]
+        if z0.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"num_chains={z0.shape[0]} must divide over mesh axis "
+                f"{chain_axis!r} of size {n_dev}"
+            )
+
+        def body(z0_shard, key_rep):
+            my = jax.lax.axis_index(chain_axis)
+            return run(z0_shard, jax.random.fold_in(key_rep, my), chain_axis)
+
+        return jax.jit(
+            shard_map(
+                body, mesh=mesh,
+                in_specs=(P(chain_axis), P()),
+                out_specs=(P(chain_axis), P(chain_axis), P()),
+                check_vma=False,
+            )
         )
 
-    def body(z0_shard, key_rep):
-        my = jax.lax.axis_index(chain_axis)
-        return run(z0_shard, jax.random.fold_in(key_rep, my), chain_axis)
+    runner = _RUNNER_CACHE.get(cache_key)
+    if runner is None:
+        if len(_RUNNER_CACHE) >= 32:
+            _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+        runner = build_runner()
+        _RUNNER_CACHE[cache_key] = runner
+    return runner(z0, key)
 
-    return jax.jit(
-        shard_map(
-            body, mesh=mesh,
-            in_specs=(P(chain_axis), P()),
-            out_specs=(P(chain_axis), P(chain_axis), P()),
-            check_vma=False,
-        )
-    )(z0, key)
+
+_RUNNER_CACHE: Dict[Tuple, Any] = {}
 
 
 def sample(
@@ -381,7 +415,14 @@ def sample(
     comp: CompiledModel = model.compiled() if hasattr(model, "compiled") else model
     if params is None:
         params = comp.initial_params
-    potential_fn, unravel, _ = make_potential(comp, params, given)
+    # reuse one potential closure per compiled model (stable identity =>
+    # the vectorized runner cache below can hit across sample() calls)
+    if params is comp.initial_params and not given:
+        if not hasattr(comp, "_potential_cache"):
+            comp._potential_cache = make_potential(comp, params, given)
+        potential_fn, unravel, _ = comp._potential_cache
+    else:
+        potential_fn, unravel, _ = make_potential(comp, params, given)
     if enumerate_discrete:
         # sum out Bernoulli/Categorical latents inside the potential —
         # NUTS/HMC then runs on the marginalized continuous density
@@ -412,13 +453,19 @@ def sample(
             comp._fused_family_cache = recognize_fused_family(comp, params)
         fam = comp._fused_family_cache
         if fam is not None:
-            value_and_grad_fn = fam.value_and_grad()
+            # stable callable identities => the vectorized runner cache
+            # below can hit across sample() calls
+            if not hasattr(comp, "_fused_vg_built"):
+                comp._fused_vg_built = fam.value_and_grad()
+            value_and_grad_fn = comp._fused_vg_built
             if fused_leapfrog:
                 # whole-trajectory Pallas kernel: 4-10% faster per
                 # leapfrog in isolation, but per-launch overhead inside
                 # the sampling scan makes it a net loss on the current
                 # backend (measured round 2, BASELINE.md) — opt-in only.
-                leapfrog_fn = fam.leapfrog()
+                if not hasattr(comp, "_fused_leapfrog_built"):
+                    comp._fused_leapfrog_built = fam.leapfrog()
+                leapfrog_fn = comp._fused_leapfrog_built
     if hasattr(kernel, "make_step"):
         kernel_step = kernel.make_step(potential_fn)
     elif chain_method != "vectorized":
@@ -539,39 +586,56 @@ def sample(
             chain_axis, inv_mass0=inv_mass0, leapfrog_fn=leapfrog_fn,
             adapt_step_size=adapt_step_size,
         )
-    elif chain_method == "vmap" or mesh is None:
-        runner = jax.jit(
-            jax.vmap(lambda k, z: run_one(k, z, (chain_axis,)), axis_name=chain_axis)
+    elif chain_method in ("vmap", "shard_map"):
+        # memoize the jitted per-chain runner too (same retrace tax as
+        # the vectorized path: run_one's closure is rebuilt per call but
+        # is a pure function of the keyed configuration)
+        pc_key = (
+            "per-chain", chain_method, type(kernel).__name__,
+            tuple(sorted((k, repr(v)) for k, v in vars(kernel).items())),
+            id(potential_fn), int(num_warmup), int(num_samples),
+            float(target_accept), bool(adapt_step_size), bool(adapt_mass),
+            float(init_step_size), jnp.shape(z0), str(jnp.asarray(z0).dtype),
+            None if mesh is None else (id(mesh), chain_axis),
         )
-        zs, stats, info = runner(chain_keys, z0)
-    elif chain_method == "shard_map":
-        from jax.sharding import PartitionSpec as P
-        from jax import shard_map
+        runner = _RUNNER_CACHE.get(pc_key)
+        if runner is None:
+            if chain_method == "vmap" or mesh is None:
+                runner = jax.jit(
+                    jax.vmap(lambda k, z: run_one(k, z, (chain_axis,)),
+                             axis_name=chain_axis)
+                )
+            else:
+                from jax.sharding import PartitionSpec as P
+                from jax import shard_map
 
-        n_dev = mesh.shape[chain_axis]
-        if num_chains % n_dev != 0:
-            raise ValueError(
-                f"num_chains={num_chains} must divide over mesh axis "
-                f"{chain_axis!r} of size {n_dev}"
-            )
+                n_dev = mesh.shape[chain_axis]
+                if num_chains % n_dev != 0:
+                    raise ValueError(
+                        f"num_chains={num_chains} must divide over mesh axis "
+                        f"{chain_axis!r} of size {n_dev}"
+                    )
 
-        local_axis = "_local_chain"
+                local_axis = "_local_chain"
 
-        def shard_body(keys, zs0):
-            return jax.vmap(
-                lambda k, z: run_one(k, z, (chain_axis, local_axis)),
-                axis_name=local_axis,
-            )(keys, zs0)
+                def shard_body(keys, zs0):
+                    return jax.vmap(
+                        lambda k, z: run_one(k, z, (chain_axis, local_axis)),
+                        axis_name=local_axis,
+                    )(keys, zs0)
 
-        runner = jax.jit(
-            shard_map(
-                shard_body,
-                mesh=mesh,
-                in_specs=(P(chain_axis), P(chain_axis)),
-                out_specs=P(chain_axis),
-                check_vma=False,
-            )
-        )
+                runner = jax.jit(
+                    shard_map(
+                        shard_body,
+                        mesh=mesh,
+                        in_specs=(P(chain_axis), P(chain_axis)),
+                        out_specs=P(chain_axis),
+                        check_vma=False,
+                    )
+                )
+            if len(_RUNNER_CACHE) >= 32:
+                _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+            _RUNNER_CACHE[pc_key] = runner
         zs, stats, info = runner(chain_keys, z0)
     else:
         raise ValueError(f"unknown chain_method {chain_method!r}")
