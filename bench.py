@@ -9,8 +9,8 @@ eager-CPU oracle first (the reference's execution substrate, SURVEY.md
 §0/§6; the reference publishes no numbers so the baseline is MEASURED),
 then runs each TPU engine in a SUBPROCESS with a hard timeout:
 
-  1. vectorized NUTS + fused Pallas potential  (budget 230 s cold)
-  2. fallback: ChEES-HMC + fused Pallas potential (budget 220 s)
+  1. vectorized NUTS + fused XLA potential (adaptive budget)
+  2. fallback: ChEES-HMC, same potential
 
 and prints the primary JSON line IMMEDIATELY after the first engine that
 succeeds — before any secondary metric — so a late hang can never destroy
@@ -54,19 +54,16 @@ def child(engine: str) -> None:
         make_logreg_data,
     )
     from brancher_tpu.inference import sample, NUTS, ChEESHMC
-    from brancher_tpu.ops.pallas_logreg import (
-        logreg_value_and_grad_pallas,
-        logreg_value_and_grad_reference,
-    )
+    from brancher_tpu.ops.pallas_logreg import logreg_value_and_grad_reference
 
     x, y, _ = make_logreg_data(num_points=N_POINTS, dim=DIM, seed=0)
     model = logistic_regression_model(x, y)
 
     xj, yj = jnp.asarray(x), jnp.asarray(np.asarray(y, np.float32))
-    if jax.default_backend() == "tpu":
-        fused = lambda w: logreg_value_and_grad_pallas(w, xj, yj, 1.0)
-    else:
-        fused = lambda w: logreg_value_and_grad_reference(w, xj, yj, 1.0)
+    # fused XLA potential: measured faster end-to-end than the Pallas
+    # kernel at this shape once retrace overhead was eliminated (0.29 s
+    # vs 0.43 s sampler time) — see BASELINE.md round-2 notes
+    fused = lambda w: logreg_value_and_grad_reference(w, xj, yj, 1.0)
 
     kernel = NUTS(max_depth=MAX_DEPTH) if engine == "nuts" else ChEESHMC()
     kwargs = dict(

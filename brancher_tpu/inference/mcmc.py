@@ -206,6 +206,7 @@ def _run_vectorized(
     from ..ops.batched_hmc import hmc_batched
     from .adaptation import find_reasonable_step_size_batched
 
+    vg_provided = value_and_grad_fn is not None
     if value_and_grad_fn is None:
         per_chain = jax.value_and_grad(lambda zf: -potential_fn(zf))
         value_and_grad_fn = jax.vmap(per_chain)
@@ -304,8 +305,8 @@ def _run_vectorized(
         int(num_warmup), int(num_samples),
         float(target_accept), float(init_step_size),
         bool(adapt_step_size),
-        id(value_and_grad_fn) if value_and_grad_fn is not None else None,
-        id(potential_fn) if value_and_grad_fn is None else None,
+        id(value_and_grad_fn) if vg_provided else None,
+        id(potential_fn) if not vg_provided else None,
         id(leapfrog_fn) if leapfrog_fn is not None else None,
         # identity, not shape: inv_mass0 is baked into the traced program
         # as a closure constant, so different values must retrace

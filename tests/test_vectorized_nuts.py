@@ -183,3 +183,37 @@ def test_dense_mass_preconditioning_correlated_target(key):
     emp = np.cov(draws.T)
     np.testing.assert_allclose(emp, cov, atol=0.15)
     assert res_dense.diagnostics["inv_mass"].shape == (d, d)
+
+
+def test_runner_cache_no_false_sharing(key):
+    """Regression for the memoized jitted runners: two models with
+    IDENTICAL shapes/kernel/settings must not share a traced program —
+    the potential is baked into the trace, so a false cache hit would
+    silently sample the wrong posterior."""
+    from brancher_tpu import NormalVariable, ProbabilisticModel
+    from brancher_tpu.inference import NUTS, sample
+
+    def build(loc):
+        mu = NormalVariable(0.0, 5.0, "mu")
+        x = NormalVariable(mu, 0.3, "x", plate_shape=(20,))
+        x.observe(jnp.full((20,), loc, jnp.float32))
+        return ProbabilisticModel([x])
+
+    kwargs = dict(kernel=NUTS(max_depth=6), num_samples=200, num_warmup=200,
+                  num_chains=4, key=key)
+    m_a = sample(build(3.0), **kwargs)
+    m_b = sample(build(-3.0), **kwargs)
+    a = float(jnp.mean(m_a.samples["mu"]))
+    b = float(jnp.mean(m_b.samples["mu"]))
+    assert abs(a - 3.0) < 0.3, a
+    assert abs(b + 3.0) < 0.3, b
+
+    # and a true repeat DOES hit the cache (same compiled runner object)
+    from brancher_tpu.inference.mcmc import _RUNNER_CACHE
+
+    n_before = len(_RUNNER_CACHE)
+    model = build(1.0)
+    sample(model, **kwargs)
+    n_mid = len(_RUNNER_CACHE)
+    sample(model, **kwargs)
+    assert len(_RUNNER_CACHE) == n_mid > n_before - 1

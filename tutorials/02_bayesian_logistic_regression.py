@@ -95,6 +95,6 @@ acc = (np.asarray(ppc["y"]).mean(0).round() == y).mean()
 print(f"posterior-predictive agreement with data: {acc:.2%}")
 
 # %% [markdown]
-# On a TPU chip this model is the benchmark headline: ~2.4M effective
-# samples/sec with 1024 chains (see BASELINE.md), about 270× an
+# On a TPU chip this model is the benchmark headline: ~3.5M effective
+# samples/sec with 1024 chains (see BASELINE.md), about 300× an
 # eager-PyTorch CPU oracle charged for the same leapfrog trajectory.
