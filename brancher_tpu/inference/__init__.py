@@ -34,3 +34,4 @@ from .diagnostics import (
     rank_normalized_rhat,
 )
 from .pmmh import PMMHResult, pmmh_sample
+from .particle_gibbs import PGResult, particle_gibbs_sample

@@ -68,6 +68,127 @@ def effective_sample_size(samples) -> np.ndarray:
     return ess.reshape(x.shape[2:]) if in_ndim > 2 else np.squeeze(ess)
 
 
+# ----------------------------------------------------------------------
+# Device-side ESS (ROADMAP r2 perf #3)
+#
+# The host path above transfers the full [chains, draws, dim] array over
+# the axon tunnel (~130 MB, seconds, variable at bench scale).  This path
+# computes the same Geyer initial-monotone estimate ON DEVICE and
+# transfers only the [dim] result.  Crucially it avoids FFT — the XLA FFT
+# program cost ~65 s to compile on this backend (round 2) — and instead
+# evaluates the autocovariance directly at the first `max_lag` lags with
+# one small lax.scan of masked elementwise contractions (O(K·C·S·P) VPU
+# work; ~50 GFLOP at bench scale, milliseconds).
+#
+# Truncation semantics: Geyer's initial positive sequence almost always
+# terminates within a few lags for chains healthy enough to report ESS
+# on; if it has NOT terminated by max_lag the truncated sum
+# underestimates tau (overestimates ESS), so we detect that case and
+# clamp tau to the worst-case bound tau >= 2*sum(p) (treating the
+# remaining mass as if the last pair persisted to draws/2 pairs).
+# ----------------------------------------------------------------------
+
+_ESS_DEVICE_CACHE: dict = {}
+
+
+def _ess_device_fn(max_lag: int):
+    """Build (and cache) the jitted [C,S,P] -> [P] device ESS program."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _ESS_DEVICE_CACHE.get(max_lag)
+    if fn is not None:
+        return fn
+
+    def ess(flat):
+        chains, draws, _ = flat.shape
+        k = min(max_lag, draws - 1)
+        xc = flat - jnp.mean(flat, axis=1, keepdims=True)
+        t_idx = jnp.arange(draws)
+
+        def lag_cov(_, lag):
+            rolled = jnp.roll(xc, -lag, axis=1)
+            mask = (t_idx < draws - lag).astype(flat.dtype)
+            ck = jnp.einsum("csp,csp,s->cp", xc, rolled, mask) / draws
+            return None, ck
+
+        _, acov = jax.lax.scan(lag_cov, None, jnp.arange(k))  # [K, C, P]
+        mean_acov = jnp.mean(acov, axis=1)  # [K, P]
+        w = jnp.mean(acov[0], axis=0) * draws / (draws - 1.0)
+        if chains > 1:
+            chain_means = jnp.mean(flat, axis=1)
+            b_over_n = jnp.var(chain_means, axis=0, ddof=1)
+        else:
+            b_over_n = jnp.zeros_like(w)
+        var_plus = w * (draws - 1.0) / draws + b_over_n
+
+        rho = 1.0 - (w[None, :] - mean_acov) / var_plus[None, :]
+        rho = rho.at[0].set(1.0)
+        k_half = k // 2
+        p = rho[0 : 2 * k_half : 2] + rho[1 : 2 * k_half : 2]
+        alive = jnp.cumprod((p > 0.0).astype(flat.dtype), axis=0)
+        p = p * alive
+        p = jnp.maximum(jax.lax.cummin(p, axis=0), 0.0)
+        tau = -1.0 + 2.0 * jnp.sum(p, axis=0)
+        # truncation guard: if the positive sequence survived to the last
+        # pair, extend it pessimistically (last pair repeated to draws/2)
+        unterminated = alive[-1] > 0.0
+        tau_pess = tau + 2.0 * p[-1] * (draws // 2 - k_half)
+        tau = jnp.where(unterminated, tau_pess, tau)
+        tau = jnp.maximum(tau, 1.0 / np.log10(float(draws * chains)))
+        return jnp.minimum(chains * draws / tau, float(chains * draws))
+
+    fn = jax.jit(ess)
+    _ESS_DEVICE_CACHE[max_lag] = fn
+    return fn
+
+
+def effective_sample_size_device(samples, max_lag: int = 256):
+    """ESS of [chains, draws, ...] samples, computed on device.
+
+    Same estimator as :func:`effective_sample_size` with the
+    autocovariance truncated at ``max_lag`` lags (pessimistic tail
+    correction when unterminated; see module comment).  Returns a device
+    array of shape ``samples.shape[2:]`` — only O(dim) bytes ever cross
+    to the host.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(samples)
+    if x.dtype not in (jnp.float32, jnp.float64):
+        x = x.astype(jnp.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    event_shape = x.shape[2:]
+    flat = x.reshape(x.shape[0], x.shape[1], -1)
+    ess = _ess_device_fn(int(max_lag))(flat)
+    return ess.reshape(event_shape) if event_shape else jnp.squeeze(ess)
+
+
+def potential_scale_reduction_device(samples):
+    """Split R-hat of [chains, draws, ...] samples, computed on device."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(samples)
+    if x.dtype not in (jnp.float32, jnp.float64):
+        x = x.astype(jnp.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    event_shape = x.shape[2:]
+    draws = x.shape[1]
+    half = draws // 2
+    split = jnp.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+    m, n = split.shape[0], split.shape[1]
+    flat = split.reshape(m, n, -1)
+    chain_means = jnp.mean(flat, axis=1)
+    chain_vars = jnp.var(flat, axis=1, ddof=1)
+    w = jnp.mean(chain_vars, axis=0)
+    b = n * jnp.var(chain_means, axis=0, ddof=1)
+    var_plus = (n - 1.0) / n * w + b / n
+    rhat = jnp.sqrt(var_plus / w)
+    return rhat.reshape(event_shape) if event_shape else jnp.squeeze(rhat)
+
+
 def potential_scale_reduction(samples) -> np.ndarray:
     """Split R-hat of [chains, draws, ...] samples."""
     x = np.asarray(samples, dtype=np.float64)

@@ -379,6 +379,7 @@ def sample(
     mass: str = "diag",
     resume_state: Optional[Dict[str, Array]] = None,
     init_strategy: str = "uniform",
+    diagnostics_backend: str = "auto",
 ) -> MCMCResult:
     """Run MCMC on a ProbabilisticModel (or a raw potential callable).
 
@@ -401,6 +402,13 @@ def sample(
     self-checks against the autodiff density, uses the fused Pallas
     value+grad kernel instead of vmapped autodiff.  "off" disables the
     probe.  Ignored when value_and_grad_fn is given.
+
+    diagnostics_backend: where ESS/R-hat are computed.  "host" = numpy
+    FFT Geyer (transfers the full sample array); "device" = truncated-lag
+    Geyer on the accelerator (transfers O(dim) bytes — see
+    diagnostics.effective_sample_size_device); "none" skips them; "auto"
+    (default) picks "device" when the sample block exceeds 16 MB and the
+    samples live on a non-CPU backend, else "host".
     """
     from .nuts import NUTS
 
@@ -675,7 +683,12 @@ def sample(
     samples = constrain_all(zs)
 
     # -- diagnostics --------------------------------------------------------
-    from .diagnostics import effective_sample_size, potential_scale_reduction
+    from .diagnostics import (
+        effective_sample_size,
+        effective_sample_size_device,
+        potential_scale_reduction,
+        potential_scale_reduction_device,
+    )
 
     diagnostics: Dict[str, Any] = {
         "num_divergences": jnp.sum(stats["diverging"]),
@@ -689,16 +702,32 @@ def sample(
     for extra in ("trajectory_length", "warmup_leapfrog"):
         if extra in info:
             diagnostics[extra] = info[extra]
-    ess = {}
-    rhat = {}
-    for n in comp.continuous_latent_names:
-        s = samples[n]
-        event_shape = s.shape[2:]
-        flat = s.reshape(s.shape[0], s.shape[1], -1)
-        ess[n] = effective_sample_size(flat).reshape(event_shape)
-        rhat[n] = potential_scale_reduction(flat).reshape(event_shape)
-    diagnostics["ess"] = ess
-    diagnostics["r_hat"] = rhat
+    if diagnostics_backend not in ("auto", "host", "device", "none"):
+        raise ValueError(f"unknown diagnostics_backend {diagnostics_backend!r}")
+    mode = diagnostics_backend
+    if mode == "auto":
+        total_bytes = sum(
+            int(np.prod(s.shape)) * 4 for s in samples.values()
+        )
+        on_accel = jax.default_backend() != "cpu"
+        mode = "device" if (on_accel and total_bytes > 16 * 2**20) else "host"
+    if mode != "none":
+        ess = {}
+        rhat = {}
+        for n in comp.continuous_latent_names:
+            s = samples[n]
+            event_shape = s.shape[2:]
+            flat = s.reshape(s.shape[0], s.shape[1], -1)
+            if mode == "device":
+                ess[n] = effective_sample_size_device(flat).reshape(event_shape)
+                rhat[n] = potential_scale_reduction_device(flat).reshape(
+                    event_shape
+                )
+            else:
+                ess[n] = effective_sample_size(flat).reshape(event_shape)
+                rhat[n] = potential_scale_reduction(flat).reshape(event_shape)
+        diagnostics["ess"] = ess
+        diagnostics["r_hat"] = rhat
     # checkpointable sampler state: feed back via sample(resume_state=...)
     diagnostics["resume_state"] = {
         "z": zs[:, -1],

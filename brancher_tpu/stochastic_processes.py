@@ -375,6 +375,142 @@ class GaussianHMM(Distribution):
         return jnp.full((self.length,), jnp.dot(p, locs))
 
 
+class EmissionHMM(Distribution):
+    """Hidden Markov model with ANY emission family (ROADMAP r2 #7).
+
+    Generalizes :class:`GaussianHMM`: the latent state chain is summed
+    out EXACTLY by the same log-space forward algorithm, but emissions
+    come from an arbitrary :class:`Distribution` (Poisson counts,
+    Bernoulli spikes, MVN observations, ...).  Emission parameters are
+    supplied with a LEADING STATE AXIS ``[K, ...]`` under link names
+    ``emission_<param>``; init/transition logits as in GaussianHMM.  All
+    parameters accept links, so priors over them make the HMM fully
+    NUTS-able — the discrete states never enter the sampler.
+
+    The per-timestep emission table is a ``vmap`` over the state axis of
+    the emission kernel: one batched evaluation per scan step, fused by
+    XLA into the [K]x[K,K] forward contraction.
+    """
+
+    reparameterized = False
+
+    def __init__(self, length: int, emission: Distribution):
+        self.length = int(length)
+        self.emission = emission
+        em_names = tuple(f"emission_{p}" for p in emission.param_names)
+        self.param_names = ("init_logits", "trans_logits") + em_names
+        evr = {"init_logits": 1, "trans_logits": 2}
+        base_evr = getattr(emission, "param_event_ndims", {}) or {}
+        for p in emission.param_names:
+            evr[f"emission_{p}"] = (
+                base_evr.get(p, emission.event_ndim) + 1
+            )
+        self.param_event_ndims = evr
+        self.support = emission.support
+        self.event_ndim = 1 + emission.event_ndim
+        self.is_discrete = emission.is_discrete
+
+    def _split(self, params):
+        em = {k[len("emission_"):]: v for k, v in params.items()
+              if k.startswith("emission_")}
+        return params["init_logits"], params["trans_logits"], em
+
+    def _emission_logp(self, y, em_params):
+        """Per-state emission log-densities [K] for one timestep value."""
+        def one(kp):
+            lp = self.emission.log_prob(y, **kp)
+            return jnp.sum(lp)  # reduce emission event dims
+
+        return jax.vmap(one)(em_params)
+
+    def sample(self, key, **params):
+        init_logits, trans_logits, em = self._split(params)
+        k_s0, k_scan = jax.random.split(key)
+        s0 = jax.random.categorical(k_s0, init_logits)
+
+        def step(s, k):
+            k_tr, k_em = jax.random.split(k)
+            y = self.emission.sample(
+                k_em, **{p: v[s] for p, v in em.items()}
+            )
+            s_next = jax.random.categorical(k_tr, trans_logits[s])
+            return s_next, y
+
+        keys = jax.random.split(k_scan, self.length)
+        _, ys = jax.lax.scan(step, s0, keys)
+        return ys
+
+    def log_prob(self, value, **params):
+        """Forward algorithm in log space; per-series scalar."""
+        init_logits, trans_logits, em = self._split(params)
+        log_init = jax.nn.log_softmax(init_logits)
+        log_trans = jax.nn.log_softmax(trans_logits, axis=-1)
+
+        def step(log_alpha, y):
+            la = jax.nn.logsumexp(log_alpha[:, None] + log_trans, axis=0)
+            return la + self._emission_logp(y, em), None
+
+        log_alpha0 = log_init + self._emission_logp(value[0], em)
+        log_alpha, _ = jax.lax.scan(step, log_alpha0, value[1:])
+        return jax.nn.logsumexp(log_alpha)
+
+    def posterior_marginals(self, value, **params):
+        """Forward-backward smoothing p(s_t = k | y_{1:T}) as [T, K]."""
+        init_logits, trans_logits, em = self._split(params)
+        log_init = jax.nn.log_softmax(jnp.asarray(init_logits))
+        log_trans = jax.nn.log_softmax(jnp.asarray(trans_logits), axis=-1)
+        value = jnp.asarray(value)
+        emis = lambda y: self._emission_logp(y, em)
+
+        def fwd(log_alpha, y):
+            la = jax.nn.logsumexp(log_alpha[:, None] + log_trans, axis=0) + emis(y)
+            return la, la
+
+        la0 = log_init + emis(value[0])
+        _, log_alphas = jax.lax.scan(fwd, la0, value[1:])
+        log_alphas = jnp.concatenate([la0[None], log_alphas], axis=0)
+
+        def bwd(log_beta, y):
+            lb = jax.nn.logsumexp(
+                log_trans + (emis(y) + log_beta)[None, :], axis=1
+            )
+            return lb, lb
+
+        k = log_init.shape[0]
+        lb_last = jnp.zeros((k,))
+        _, log_betas_rev = jax.lax.scan(bwd, lb_last, value[1:][::-1])
+        log_betas = jnp.concatenate([log_betas_rev[::-1], lb_last[None]], axis=0)
+        return jax.nn.softmax(log_alphas + log_betas, axis=-1)
+
+
+def EmissionHMMVariable(length, emission, init_logits, trans_logits,
+                        name=None, **emission_params):
+    """HMM series variable with an arbitrary emission family.
+
+    ``emission_params`` bind the emission distribution's parameters with
+    a leading state axis [K, ...]; every position accepts constants,
+    variables or expressions.  Example::
+
+        rates = LogNormalVariable(0., 1., 'rates', plate=(3,))
+        y = EmissionHMMVariable(200, Poisson(), init_logits=jnp.zeros(3),
+                                trans_logits=T0, rate=rates, name='y')
+    """
+    from .variables import RandomVariable
+
+    missing = set(emission.param_names) - set(emission_params)
+    extra = set(emission_params) - set(emission.param_names)
+    if missing or extra:
+        raise ValueError(
+            f"emission {type(emission).__name__} expects params "
+            f"{emission.param_names}; missing {sorted(missing)}, "
+            f"unknown {sorted(extra)}"
+        )
+    links = {"init_logits": init_logits, "trans_logits": trans_logits}
+    links.update({f"emission_{p}": v for p, v in emission_params.items()})
+    return RandomVariable(EmissionHMM(length, emission), name=name,
+                          links=links)
+
+
 def hmm_posterior_marginals(value, *, init_logits, trans_logits, locs, scales):
     """Forward-backward smoothing: p(s_t = k | y_{1:T}) as [T, K].
 

@@ -70,3 +70,55 @@ def test_rank_normalized_rhat_heavy_tails(key):
         [rng.normal(0, 1, size=(2, 2000)), rng.normal(3, 1, size=(2, 2000))]
     )
     assert float(rank_normalized_rhat(loc_mix)) > 1.5
+
+
+# -- device-side path (ROADMAP r2 perf #3) ------------------------------
+
+def _ar1(key, chains, draws, rho, dim=3):
+    eps = np.asarray(jax.random.normal(key, (chains, draws, dim)))
+    x = np.zeros_like(eps)
+    x[:, 0] = eps[:, 0]
+    for t in range(1, draws):
+        x[:, t] = rho * x[:, t - 1] + np.sqrt(1 - rho**2) * eps[:, t]
+    return x
+
+
+def test_device_ess_matches_host(key):
+    from brancher_tpu.inference.diagnostics import (
+        effective_sample_size_device,
+    )
+
+    x = _ar1(key, chains=4, draws=2000, rho=0.9)
+    host = effective_sample_size(x)
+    dev = np.asarray(effective_sample_size_device(jnp.asarray(x)))
+    # same Geyer estimator; device truncates lags at 256 (AR(1) rho=0.9
+    # terminates within ~40 lags so truncation is inactive here)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, rtol=0.02)
+
+
+def test_device_ess_truncation_is_pessimistic(key):
+    from brancher_tpu.inference.diagnostics import (
+        effective_sample_size_device,
+    )
+
+    # rho=0.999: tau ~ 2000 — the positive sequence does NOT terminate
+    # within max_lag=64, so the device estimate must be <= (not wildly
+    # above) the host full-lag estimate
+    x = _ar1(key, chains=4, draws=4000, rho=0.999, dim=1)
+    host = float(effective_sample_size(x)[0])
+    dev = float(effective_sample_size_device(jnp.asarray(x), max_lag=64)[0])
+    assert dev <= host * 1.1, (dev, host)
+
+
+def test_device_rhat_matches_host(key):
+    from brancher_tpu.inference.diagnostics import (
+        potential_scale_reduction_device,
+    )
+
+    x = _ar1(key, chains=4, draws=1000, rho=0.5)
+    x[2] += 1.5  # one displaced chain => R-hat well above 1
+    host = potential_scale_reduction(x)
+    dev = np.asarray(potential_scale_reduction_device(jnp.asarray(x)))
+    np.testing.assert_allclose(dev, host, rtol=1e-4)
+    assert np.all(dev > 1.1)

@@ -1,0 +1,121 @@
+"""Particle Gibbs with ancestor sampling (ROADMAP r2 #8): parameter
+recovery vs the exact Kalman grid posterior, and posterior STATE
+trajectories vs the RTS smoother."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu.inference.particle_gibbs import particle_gibbs_sample
+from brancher_tpu.inference.smc import StateSpace
+from brancher_tpu.models.state_space import (
+    LGSSMParams, kalman_filter, make_lgssm_data,
+)
+from tests.test_pmmh import _make_ssm, _kalman_loglik_grid
+
+
+def _rts_smoother(ys, params):
+    """Rauch-Tung-Striebel pass on top of the exact Kalman filter."""
+    a, q = params.a, params.q
+    _, f_means, f_vars = kalman_filter(ys, params)
+    t_len = len(f_means)
+    s_means = np.empty(t_len)
+    s_means[-1] = f_means[-1]
+    s_vars = np.empty(t_len)
+    s_vars[-1] = f_vars[-1]
+    for t in range(t_len - 2, -1, -1):
+        pred_var = a * a * f_vars[t] + q
+        g = f_vars[t] * a / pred_var
+        s_means[t] = f_means[t] + g * (s_means[t + 1] - a * f_means[t])
+        s_vars[t] = f_vars[t] + g * g * (s_vars[t + 1] - pred_var)
+    return s_means, s_vars
+
+
+def test_pgas_recovers_transition_coefficient(key):
+    params = LGSSMParams(a=0.85)
+    _, ys = make_lgssm_data(length=60, params=params, seed=0)
+    mean_a, sd_a = _kalman_loglik_grid(ys)
+
+    res = particle_gibbs_sample(
+        _make_ssm,
+        jnp.asarray(ys),
+        log_prior=lambda th: -0.5 * jnp.sum((th / 1.5) ** 2),
+        theta0=jnp.asarray([np.arctanh(0.7)], jnp.float32),
+        num_samples=400,
+        num_warmup=200,
+        num_particles=32,  # PGAS mixes with FAR fewer particles than PMMH
+        num_chains=8,
+        key=key,
+    )
+    a_draws = np.tanh(np.asarray(res.thetas)[..., 0].ravel())
+    assert 0.05 < float(res.accept_rate) < 0.9, float(res.accept_rate)
+    assert abs(a_draws.mean() - mean_a) < 2.5 * sd_a, (
+        a_draws.mean(), mean_a, sd_a)
+    assert 0.3 * sd_a < a_draws.std() < 3.5 * sd_a, (a_draws.std(), sd_a)
+
+
+def test_pgas_trajectories_match_rts_smoother(key):
+    """At a pinned theta the PGAS trajectories sample p(x_{0:T} | y);
+    their mean must match the exact RTS smoother."""
+    params = LGSSMParams(a=0.85)
+    _, ys = make_lgssm_data(length=50, params=params, seed=1)
+    s_means, s_vars = _rts_smoother(ys, params)
+
+    theta_true = float(np.arctanh(0.85))
+
+    def make_fixed(theta):
+        # ignore the sampled theta: states-only Gibbs
+        return _make_ssm(jnp.asarray([theta_true]))
+
+    res = particle_gibbs_sample(
+        make_fixed,
+        jnp.asarray(ys),
+        log_prior=lambda th: -0.5 * jnp.sum((th / 1.5) ** 2),
+        theta0=jnp.asarray([theta_true], jnp.float32),
+        num_samples=300,
+        num_warmup=100,
+        num_particles=32,
+        num_chains=8,
+        key=key,
+    )
+    trajs = np.asarray(res.trajectories)  # [C, S, T]
+    m = trajs.reshape(-1, trajs.shape[-1]).mean(0)
+    se = np.sqrt(s_vars) * 3.0 / np.sqrt(50.0) + 0.08  # generous MC band
+    err = np.abs(m - s_means)
+    assert np.all(err < np.maximum(3.0 * se, 0.15)), (
+        float(err.max()), float(np.max(3.0 * se)))
+    # trajectory VARIANCE should match the smoother variance in scale
+    v = trajs.reshape(-1, trajs.shape[-1]).var(0)
+    ratio = v / s_vars
+    assert 0.5 < float(np.median(ratio)) < 2.0, float(np.median(ratio))
+
+
+def test_ancestor_sampling_beats_plain_pg(key):
+    """Without ancestor sampling the early-time states barely move
+    between sweeps (path degeneracy); AS must decorrelate them faster."""
+    params = LGSSMParams(a=0.9)
+    _, ys = make_lgssm_data(length=80, params=params, seed=2)
+    theta_true = float(np.arctanh(0.9))
+
+    def make_fixed(theta):
+        return _make_ssm(jnp.asarray([theta_true]))
+
+    kw = dict(
+        make_ssm=make_fixed, ys=jnp.asarray(ys),
+        log_prior=lambda th: -0.5 * jnp.sum((th / 1.5) ** 2),
+        theta0=jnp.asarray([theta_true], jnp.float32),
+        num_samples=120, num_warmup=30, num_particles=16, num_chains=4,
+        key=key,
+    )
+    res_as = particle_gibbs_sample(ancestor_sampling=True, **kw)
+    res_pg = particle_gibbs_sample(ancestor_sampling=False, **kw)
+
+    def x0_lag1_corr(res):
+        x0 = np.asarray(res.trajectories)[:, :, 0]  # [C, S] earliest state
+        x0 = x0 - x0.mean(axis=1, keepdims=True)
+        num = (x0[:, 1:] * x0[:, :-1]).mean()
+        den = (x0 * x0).mean() + 1e-12
+        return num / den
+
+    r_as, r_pg = x0_lag1_corr(res_as), x0_lag1_corr(res_pg)
+    assert r_as < r_pg - 0.1, (r_as, r_pg)
+    assert r_as < 0.6, r_as
