@@ -226,11 +226,13 @@ def _run_vectorized(
         else:
             init_eps = init_step_size
         samples, stats, info = _run_inner(z0_shard, key_shard, axis_name, init_eps)
-        if axis_name and "warmup_leapfrog" in info:
+        if axis_name:
             # per-shard loop counts differ; replicate as the cross-shard mean
-            info["warmup_leapfrog"] = jax.lax.pmean(
-                info["warmup_leapfrog"].astype(jnp.float32), axis_name
-            )
+            for k in ("warmup_leapfrog", "chain_leapfrog"):
+                if k in info:
+                    info[k] = jax.lax.pmean(
+                        info[k].astype(jnp.float32), axis_name
+                    )
         return samples, stats, info
 
     def _run_inner(z0_shard, key_shard, axis_name, init_eps):
@@ -290,7 +292,8 @@ def _run_vectorized(
             ),
         }
         info = {"step_size": res.step_size, "inv_mass": res.inv_mass,
-                "warmup_leapfrog": res.warmup_leapfrog}
+                "warmup_leapfrog": res.warmup_leapfrog,
+                "chain_leapfrog": res.chain_leapfrog}
         return res.samples, stats, info
 
     # -- memoized jitted runner -------------------------------------------
@@ -461,6 +464,8 @@ def sample(
 
             comp._fused_family_cache = recognize_fused_family(comp, params)
         fam = comp._fused_family_cache
+        if fam is not None and not getattr(fam, "auto_upgradable", True):
+            fam = None  # e.g. categorical: autodiff measured faster
         if fam is not None:
             # stable callable identities => the vectorized runner cache
             # below can hit across sample() calls
@@ -699,7 +704,7 @@ def sample(
         # first call; excludes constrain/diagnostics post-processing)
         "sampler_seconds": _sampler_seconds,
     }
-    for extra in ("trajectory_length", "warmup_leapfrog"):
+    for extra in ("trajectory_length", "warmup_leapfrog", "chain_leapfrog"):
         if extra in info:
             diagnostics[extra] = info[extra]
     if diagnostics_backend not in ("auto", "host", "device", "none"):

@@ -53,6 +53,9 @@ class VectorizedNUTSResult(NamedTuple):
     step_size: Array
     inv_mass: Array
     warmup_leapfrog: Array  # scalar: loop iterations during warmup
+    chain_leapfrog: Array  # [S] mean per-chain LIVE leapfrogs per draw —
+    # the lockstep-waste diagnostic: num_leapfrog/chain_leapfrog is the
+    # factor a compacted (per-chain early-exit) engine could recover
 
 
 def _ke(r: Array, inv_mass: Array) -> Array:
@@ -299,7 +302,7 @@ def nuts_transition_batched(
     accept_prob = s.sum_acc / jnp.maximum(s.cnt, 1.0)
     return (
         s.prop_z, s.prop_val, s.prop_grad,
-        accept_prob, s.diverging, s.n - 1,
+        accept_prob, s.diverging, s.n - 1, jnp.mean(s.cnt),
     )
 
 
@@ -335,7 +338,7 @@ def nuts_batched(
         z, val, grad, da, s1, s2, n_acc, inv_mass, lf_total = carry
         k, slow, w_end = xs
         eps = jnp.exp(da.log_step)
-        z, val, grad, ap, dvg, n_lf = transition(z, val, grad, eps, inv_mass, k)
+        z, val, grad, ap, dvg, n_lf, _ = transition(z, val, grad, eps, inv_mass, k)
         lf_total = lf_total + n_lf
         da = da_update(da, _gmean(ap, axis_name), target_accept=target_accept)
         s1 = jnp.where(slow, s1 + jnp.sum(z, axis=0), s1)
@@ -374,12 +377,13 @@ def nuts_batched(
 
     def sample_body(carry, k):
         z, val, grad = carry
-        z, val, grad, ap, dvg, n_leaps = transition(z, val, grad, eps_final, inv_mass, k)
-        return (z, val, grad), (z, ap, dvg, n_leaps)
+        z, val, grad, ap, dvg, n_leaps, c_leaps = transition(
+            z, val, grad, eps_final, inv_mass, k)
+        return (z, val, grad), (z, ap, dvg, n_leaps, c_leaps)
 
     keys = jax.random.split(k_samp, num_samples)
     with jax.named_scope("nuts_sampling"):
-        _, (zs, aps, dvgs, n_leaps) = jax.lax.scan(
+        _, (zs, aps, dvgs, n_leaps, c_leaps) = jax.lax.scan(
             sample_body, (z, val, grad), keys)
     return VectorizedNUTSResult(
         samples=jnp.swapaxes(zs, 0, 1),
@@ -389,4 +393,5 @@ def nuts_batched(
         step_size=eps_final,
         inv_mass=inv_mass,
         warmup_leapfrog=warmup_leapfrog,
+        chain_leapfrog=c_leaps,
     )

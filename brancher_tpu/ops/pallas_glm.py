@@ -84,6 +84,36 @@ def normal_vg_reference(
     return val, grad
 
 
+def categorical_vg_reference(
+    z: Array, x: Array, y_onehot: Array, c: Array, cols: Array, ks: Array,
+    prior_mean: Array, prior_inv_var: Array, ll_scale: float = 1.0,
+) -> Tuple[Array, Array]:
+    """Structure-preserving softmax potential: z [C,D] -> (val [C], grad [C,D]).
+
+    The recognizer (ROADMAP r2 #9) maps each flat latent coordinate j to
+    one (feature, class) cell (cols[j], ks[j]) of an effective weight
+    matrix W [m,K], with design x [N,m] and logit offset c [N,K]:
+        logits = x @ W(z) + c,  W(z)[cols[j], ks[j]] += z_j.
+    This is the batched-3D-matmul layout — O(C·N·K·m) MXU FLOPs instead
+    of the O(C·N·K·D)=O(C·N·K²·m) an affine-flattened design would cost.
+    """
+    ch, d = z.shape
+    m = x.shape[1]
+    k = y_onehot.shape[1]
+    w = jnp.zeros((ch, m, k), z.dtype).at[:, cols, ks].add(z)  # [C,m,K]
+    logits = jnp.einsum("nm,cmk->cnk", x, w) + c[None]  # [C,N,K]
+    ll = jnp.sum(
+        jnp.sum(y_onehot[None] * logits, -1) - jax.nn.logsumexp(logits, -1),
+        axis=-1,
+    )
+    dz = z - prior_mean[None, :]
+    val = ll_scale * ll - 0.5 * jnp.sum(dz * dz * prior_inv_var[None, :], -1)
+    resid = y_onehot[None] - jax.nn.softmax(logits, axis=-1)  # [C,N,K]
+    gw = jnp.einsum("nm,cnk->cmk", x, resid)  # [C,m,K]
+    grad = ll_scale * gw[:, cols, ks] - dz * prior_inv_var[None, :]
+    return val, grad
+
+
 # ======================================================================
 # Pallas kernels (TPU): (chain-block, row-block) grid, VMEM accumulation
 # ======================================================================
@@ -381,6 +411,83 @@ class FusedFamily(NamedTuple):
                                                       interpret=interpret))
 
 
+class CategoricalFusedFamily(NamedTuple):
+    """Extracted softmax-GLM structure (ROADMAP r2 #9): logits =
+    x @ W(z) + c with each latent coordinate scattered into one
+    (feature, class) cell.
+
+    NOT auto-upgraded: measured on the axon chip (N=2000 d=32 K=10,
+    256 chains, scripts/exp_categorical_speedup.py), XLA autodiff of the
+    DSL's own `matmul(x, w)` already emits the structure-preserving
+    batched matmuls — 0.648 ms/eval vs this family's 0.668 ms (the
+    per-eval scatter costs more than it saves), 6.4 s vs 8.1 s NUTS
+    sampler end-to-end.  The family stays available (verified against
+    autodiff by the recognizer) for models whose DSL graph OBSCURES the
+    matmul structure — per-class stacked links, elementwise-assembled
+    logits — where autodiff cannot recover one big batched matmul."""
+
+    auto_upgradable = False  # class attr, not a field
+
+    x: Array  # [N, m] effective design
+    y_onehot: Array  # [N, K]
+    c: Array  # [N, K] logit offsets
+    cols: Array  # [D] feature index per latent coordinate
+    ks: Array  # [D] class index per latent coordinate
+    prior_mean: Array
+    prior_inv_var: Array
+    ll_scale: float
+
+    def value_and_grad(self, use_pallas: str = "auto", interpret: bool = False):
+        f = self
+        return lambda z: categorical_vg_reference(
+            z, f.x, f.y_onehot, f.c, f.cols, f.ks, f.prior_mean,
+            f.prior_inv_var, f.ll_scale)
+
+    def leapfrog(self, use_pallas: str = "auto", interpret: bool = False):
+        from .pallas_leapfrog import reference_leapfrog
+
+        return reference_leapfrog(self.value_and_grad())
+
+
+def _extract_categorical(a_mat, b_vec, y_int, n, num_classes, dim,
+                         prior_mean, prior_inv_var, ll_scale):
+    """Detect the Kronecker (feature x class) structure of the affine
+    logit map A [N*K, D] and build a CategoricalFusedFamily, or None."""
+    a3 = a_mat.reshape(n, num_classes, dim)
+    tol = 1e-5 * max(float(np.abs(a3).max()), 1.0)
+    patterns: list = []
+    cols = np.zeros(dim, np.int32)
+    ks_arr = np.zeros(dim, np.int32)
+    for j in range(dim):
+        aj = a3[:, :, j]  # [N, K]
+        nz = np.nonzero(np.abs(aj).max(axis=0) > tol)[0]
+        if len(nz) == 0:
+            v = np.zeros(n, np.float32)
+            k_j = 0
+        elif len(nz) == 1:
+            k_j = int(nz[0])
+            v = aj[:, k_j].astype(np.float32)
+        else:
+            return None  # coordinate feeds several classes: not Kronecker
+        for mi, pv in enumerate(patterns):
+            if np.allclose(v, pv, atol=tol):
+                col = mi
+                break
+        else:
+            patterns.append(v)
+            col = len(patterns) - 1
+        cols[j] = col
+        ks_arr[j] = k_j
+    x_eff = np.stack(patterns, axis=1)  # [N, m]
+    y_onehot = np.eye(num_classes, dtype=np.float32)[y_int]
+    return CategoricalFusedFamily(
+        jnp.asarray(x_eff), jnp.asarray(y_onehot),
+        jnp.asarray(b_vec.reshape(n, num_classes).astype(np.float32)),
+        jnp.asarray(cols), jnp.asarray(ks_arr),
+        prior_mean, prior_inv_var, ll_scale,
+    )
+
+
 def recognize_fused_potential(comp, params, given=None,
                               use_pallas: str = "auto",
                               interpret: bool = False):
@@ -427,7 +534,7 @@ def _recognize_on_default_device(comp, params, given):
 
         if isinstance(obs_var._observed, PartialLink):
             return None  # data-loader observation: data is not constant
-        from ..distributions import Bernoulli, Normal
+        from ..distributions import Bernoulli, Categorical, Normal
         from ..stochastic_processes import AutoRegressive
 
         z_template = comp.z_example()
@@ -468,6 +575,27 @@ def _recognize_on_default_device(comp, params, given):
                 "bernoulli_logit", jnp.asarray(x_mat), jnp.asarray(y_val),
                 jnp.asarray(b_vec), None, 0.0, prior_mean, prior_inv_var,
                 ll_scale,
+            )
+        elif isinstance(dist, Categorical):
+            if "logits" not in obs_var.links:
+                return None
+            y_int = np.asarray(obs_var._observed).astype(np.int64).ravel()
+            n = int(y_int.shape[0])
+            lg0 = np.asarray(obs_params_f(jnp.zeros((dim,), jnp.float32))["logits"])
+            num_classes = int(lg0.shape[-1])
+            if n * num_classes * dim > 5e7:
+                return None  # probe matrix would not fit comfortably
+
+            def f_logits_flat(zf):
+                lg = obs_params_f(zf)["logits"]
+                return jnp.broadcast_to(lg, (n, num_classes)).reshape(-1)
+
+            ab = _affine_probe(jax.jit(f_logits_flat), dim)
+            if ab is None:
+                return None
+            fam = _extract_categorical(
+                ab[0], ab[1], y_int, n, num_classes, dim,
+                prior_mean, prior_inv_var, ll_scale,
             )
         elif isinstance(dist, AutoRegressive):
             p = dist.order

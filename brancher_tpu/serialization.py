@@ -18,7 +18,9 @@ with ``brancher_tpu.checkpoint`` (orbax) like any sampler/SVI state.
 from __future__ import annotations
 
 import json
-from typing import Any, Dict
+from typing import Any, Dict, Optional
+
+import numpy as np
 
 from .variables import DeterministicVariable, ProbabilisticModel, RandomVariable
 
@@ -45,8 +47,17 @@ def load_model(path: str) -> ProbabilisticModel:
     return model
 
 
-def model_spec(model: ProbabilisticModel) -> Dict[str, Any]:
-    """JSON-able structural description of the DAG."""
+def model_spec(model: ProbabilisticModel,
+               include_links: bool = False) -> Dict[str, Any]:
+    """JSON-able structural description of the DAG.
+
+    With ``include_links=True`` the spec additionally captures, per
+    parameter link, either the constant value, the referenced parent
+    variable, or an ``opaque`` marker (arbitrary expression closures are
+    not JSON-able), plus observed data and distribution constructor
+    state — enough for :func:`build_model` to RECONSTRUCT the model
+    (ROADMAP r2 #12) whenever no link is opaque.
+    """
     comp = model.compiled()
     out: Dict[str, Any] = {"variables": []}
     for v in comp.order:
@@ -61,14 +72,195 @@ def model_spec(model: ProbabilisticModel) -> Dict[str, Any]:
             entry["params"] = sorted(v.links.keys())
             entry["plate_shape"] = list(v.plate_shape)
             entry["log_prob_scale"] = float(v.log_prob_scale)
+            if include_links:
+                entry["links"] = {
+                    k: _serialize_link(v.links[k]) for k in sorted(v.links)
+                }
+                entry["distribution_state"] = _serialize_dist(v.distribution)
+                if v.is_observed:
+                    from .variables import PartialLink
+
+                    if isinstance(v._observed, PartialLink):
+                        entry["observed_value"] = {"kind": "opaque"}
+                    else:
+                        arr = np.asarray(v._observed)
+                        entry["observed_value"] = {
+                            "kind": "const", "value": arr.tolist(),
+                            "dtype": str(arr.dtype),
+                        }
         elif isinstance(v, DeterministicVariable):
             entry["kind"] = "deterministic"
             entry["learnable"] = bool(v.learnable)
+            if include_links:
+                if v.link is not None:
+                    entry["link"] = _serialize_link(v.link)
+                else:
+                    arr = np.asarray(v.value)
+                    entry["value"] = {"kind": "const", "value": arr.tolist(),
+                                      "dtype": str(arr.dtype)}
         entry["shape"] = list(comp.shapes.get(v.name, ()))
         out["variables"].append(entry)
     out["latents"] = list(comp.latent_names)
     out["observed"] = list(comp.observed_names)
     return out
+
+
+# ----------------------------------------------------------------------
+# Spec-driven reconstruction (ROADMAP r2 #12)
+# ----------------------------------------------------------------------
+
+def _serialize_link(link) -> Dict[str, Any]:
+    """Classify a PartialLink as const / single-variable / opaque."""
+    if not link.vars:
+        arr = np.asarray(link.fn({}, None))
+        return {"kind": "const", "value": arr.tolist(), "dtype": str(arr.dtype)}
+    if len(link.vars) == 1:
+        # identity detection: a pure values[name] lookup returns the
+        # sentinel object unchanged; any arithmetic on it raises
+        sentinel = object()
+        try:
+            out = link.fn({link.vars[0].name: sentinel}, None)
+        except Exception:
+            out = None
+        if out is sentinel:
+            return {"kind": "var", "name": link.vars[0].name}
+    return {"kind": "opaque", "vars": [v.name for v in link.vars]}
+
+
+def _serialize_dist(dist) -> Optional[Dict[str, Any]]:
+    """Capture a Distribution instance's constructor state when it is
+    JSON-able (scalars, str tuples/dicts, nested Distributions); None
+    when it holds closures/arrays (e.g. MarkovSeries transition_fn)."""
+    from .distributions import Distribution
+
+    state: Dict[str, Any] = {}
+    for k, v in vars(dist).items():
+        if isinstance(v, Distribution):
+            sub = _serialize_dist(v)
+            if sub is None:
+                return None
+            state[k] = {"__dist__": sub}
+        elif isinstance(v, (int, float, bool, str)) or v is None:
+            state[k] = v
+        elif isinstance(v, (tuple, list)) and all(
+            isinstance(e, (int, float, bool, str)) for e in v
+        ):
+            state[k] = {"__tuple__": list(v)}
+        elif isinstance(v, dict) and all(
+            isinstance(e, (int, float, bool, str)) for e in v.values()
+        ):
+            state[k] = {"__dict__": dict(v)}
+        else:
+            return None
+    return {"class": type(dist).__name__, "state": state}
+
+
+def _dist_registry() -> Dict[str, type]:
+    import inspect
+
+    from . import distributions as dist_mod
+    from . import stochastic_processes as sp_mod
+    from .distributions import Distribution
+
+    reg: Dict[str, type] = {}
+    for mod in (dist_mod, sp_mod):
+        for nm, obj in vars(mod).items():
+            if inspect.isclass(obj) and issubclass(obj, Distribution):
+                reg[nm] = obj
+    return reg
+
+
+def _rebuild_dist(ser: Dict[str, Any]):
+    reg = _dist_registry()
+    cls = reg.get(ser["class"])
+    if cls is None:
+        raise ValueError(f"unknown distribution class {ser['class']!r}")
+    obj = cls.__new__(cls)
+    for k, v in ser["state"].items():
+        if isinstance(v, dict) and "__dist__" in v:
+            setattr(obj, k, _rebuild_dist(v["__dist__"]))
+        elif isinstance(v, dict) and "__tuple__" in v:
+            setattr(obj, k, tuple(v["__tuple__"]))
+        elif isinstance(v, dict) and "__dict__" in v:
+            setattr(obj, k, dict(v["__dict__"]))
+        else:
+            setattr(obj, k, v)
+    return obj
+
+
+def _decode_const(ser: Dict[str, Any]):
+    return np.asarray(ser["value"], dtype=np.dtype(ser["dtype"]))
+
+
+def build_model(spec: Dict[str, Any]) -> ProbabilisticModel:
+    """Reconstruct a ProbabilisticModel from a spec produced by
+    ``model_spec(model, include_links=True)``.
+
+    Supported: constant / direct-variable parameter links, leaf or
+    variable-valued deterministic nodes, any distribution whose
+    constructor state is JSON-able.  Expression links (``opaque``) and
+    data-loader observations raise ValueError naming the offender —
+    those models round-trip via :func:`save_model` (cloudpickle)
+    instead.
+    """
+    built: Dict[str, Any] = {}
+    for entry in spec["variables"]:
+        name = entry["name"]
+        if entry["kind"] == "deterministic":
+            if "value" in entry:
+                var = DeterministicVariable(
+                    _decode_const(entry["value"]), name=name,
+                    learnable=entry.get("learnable", False),
+                )
+            elif "link" in entry and entry["link"]["kind"] == "var":
+                var = DeterministicVariable(
+                    built[entry["link"]["name"]], name=name
+                )
+            else:
+                raise ValueError(
+                    f"deterministic variable {name!r} has an opaque "
+                    "expression link; use save_model/load_model for this model"
+                )
+        elif entry["kind"] == "random":
+            if "links" not in entry:
+                raise ValueError(
+                    "spec lacks link data — produce it with "
+                    "model_spec(model, include_links=True)"
+                )
+            if entry.get("distribution_state") is None:
+                raise ValueError(
+                    f"distribution of {name!r} ({entry['distribution']}) "
+                    "holds non-serializable state (closures); use "
+                    "save_model/load_model for this model"
+                )
+            links = {}
+            for pname, ser in entry["links"].items():
+                if ser["kind"] == "const":
+                    links[pname] = _decode_const(ser)
+                elif ser["kind"] == "var":
+                    links[pname] = built[ser["name"]]
+                else:
+                    raise ValueError(
+                        f"link {name}.{pname} is an opaque expression; "
+                        "use save_model/load_model for this model"
+                    )
+            var = RandomVariable(
+                _rebuild_dist(entry["distribution_state"]), name=name,
+                links=links, plate_shape=tuple(entry["plate_shape"]),
+                log_prob_scale=entry["log_prob_scale"],
+            )
+            if entry["observed"]:
+                obs = entry.get("observed_value")
+                if obs is None or obs["kind"] != "const":
+                    raise ValueError(
+                        f"observed variable {name!r} has non-constant "
+                        "observation (data loader); use save_model/load_model"
+                    )
+                var.observe(_decode_const(obs))
+        else:
+            raise ValueError(f"unknown variable kind {entry['kind']!r}")
+        built[name] = var
+    return ProbabilisticModel(list(built.values()))
 
 
 def save_spec(model: ProbabilisticModel, path: str) -> None:

@@ -198,3 +198,78 @@ def test_hmc_with_fused_leapfrog_posterior(key):
     assert getattr(comp, "_fused_family_cache", None) is not None
     assert abs(float(jnp.mean(res.samples["mu"])) - truth["post_mean"]) < 0.05
     assert abs(float(jnp.var(res.samples["mu"])) - truth["post_var"]) < 0.03
+
+
+# -- categorical / softmax family (ROADMAP r2 #9) -------------------------
+
+def _bayes_softmax_model(n=150, d=4, k=3, seed=0):
+    import brancher_tpu.functions as BF
+    from brancher_tpu import NormalVariable, ProbabilisticModel
+
+    rng = np.random.RandomState(seed)
+    x = rng.normal(0, 1, size=(n, d)).astype(np.float32)
+    w_true = rng.normal(0, 1.5, size=(d, k)).astype(np.float32)
+    y = np.argmax(x @ w_true + rng.gumbel(size=(n, k)), axis=-1).astype(np.int32)
+
+    w = NormalVariable(jnp.zeros((d, k)), jnp.ones((d, k)), "w")
+    b = NormalVariable(jnp.zeros(k), 2.0 * jnp.ones(k), "b")
+    from brancher_tpu import CategoricalVariable
+
+    yv = CategoricalVariable(logits=BF.matmul(x, w) + b, name="y")
+    yv.observe(y)
+    return ProbabilisticModel([yv]), x, y
+
+
+def test_recognizer_categorical_structure(key):
+    from brancher_tpu.ops.pallas_glm import (
+        CategoricalFusedFamily, recognize_fused_family,
+    )
+
+    model, x, y = _bayes_softmax_model()
+    comp = model.compiled()
+    fam = recognize_fused_family(comp, comp.initial_params)
+    assert isinstance(fam, CategoricalFusedFamily), type(fam)
+    n, d, k = x.shape[0], x.shape[1], 3
+    # effective design = the d features + a ones column (the bias)
+    assert fam.x.shape[0] == n and fam.x.shape[1] <= d + 1, fam.x.shape
+    assert fam.y_onehot.shape == (n, k)
+    # one (feature, class) cell per latent coordinate: D = d*k + k
+    assert fam.cols.shape == (d * k + k,)
+
+    # exact agreement with the autodiff density (values up to a constant
+    # + gradients) at fresh random points
+    import jax.flatten_util
+
+    z_template = comp.z_example()
+    z0, unravel = jax.flatten_util.ravel_pytree(z_template)
+
+    def pot(zf):
+        return comp.log_density_z(comp.initial_params, unravel(zf), None)
+
+    zs = jax.random.normal(key, (5, z0.shape[0]))
+    v_ref, g_ref = jax.vmap(jax.value_and_grad(pot))(zs)
+    v_f, g_f = fam.value_and_grad()(zs)
+    dv = np.asarray(v_f - v_ref)
+    np.testing.assert_allclose(dv - dv[0], 0.0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_categorical_fused_nuts_matches_autodiff_path(key):
+    """The categorical family is opt-in (autodiff measured faster when
+    the DSL exposes the matmul — see CategoricalFusedFamily docstring),
+    so pass it explicitly via value_and_grad_fn."""
+    from brancher_tpu.inference import NUTS, sample
+    from brancher_tpu.ops.pallas_glm import recognize_fused_family
+
+    model, x, y = _bayes_softmax_model(n=100, d=3, k=3, seed=1)
+    comp = model.compiled()
+    fam = recognize_fused_family(comp, comp.initial_params)
+    kw = dict(kernel=NUTS(max_depth=6), num_samples=300, num_warmup=300,
+              num_chains=4, key=key)
+    res_fused = sample(model, value_and_grad_fn=fam.value_and_grad(), **kw)
+    res_plain = sample(model, fused_potential="off", **kw)
+    m_f = np.asarray(res_fused.samples["w"]).mean((0, 1))
+    m_p = np.asarray(res_plain.samples["w"]).mean((0, 1))
+    np.testing.assert_allclose(m_f, m_p, atol=0.25)
+    assert float(res_fused.diagnostics["num_divergences"]) == 0

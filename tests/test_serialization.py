@@ -1,4 +1,5 @@
 """Model serialization round-trip (VERDICT r1 missing #6)."""
+import json
 import os
 
 import jax
@@ -56,3 +57,66 @@ def test_spec_roundtrip(tmp_path):
     # a structurally different model must NOT match
     other = ProbabilisticModel([NormalVariable(0.0, 1.0, "mu")])
     assert not spec_matches(other, spec)
+
+
+# -- spec-driven reconstruction (ROADMAP r2 #12) -------------------------
+
+def test_build_model_round_trip(key):
+    from brancher_tpu.serialization import build_model, model_spec, spec_matches
+
+    mu = NormalVariable(0.0, 2.0, "mu")
+    sigma = LogNormalVariable(0.0, 0.5, "sigma")
+    x = NormalVariable(mu, sigma, "x", plate_shape=(20,))
+    x.observe(np.random.RandomState(0).randn(20).astype(np.float32))
+    model = ProbabilisticModel([x])
+
+    spec = model_spec(model, include_links=True)
+    spec = json.loads(json.dumps(spec))  # genuine JSON round-trip
+    rebuilt = build_model(spec)
+
+    # structural equality against the DEFAULT spec (what spec_matches uses)
+    assert spec_matches(rebuilt, model_spec(model))
+    # and numerical equality of the compiled densities
+    comp_a, comp_b = model.compiled(), rebuilt.compiled()
+    z = {"mu": jnp.asarray(0.3), "sigma": jnp.asarray(-0.2)}
+    la = float(comp_a.log_density_z(comp_a.initial_params, z, None))
+    lb = float(comp_b.log_density_z(comp_b.initial_params, z, None))
+    assert abs(la - lb) < 1e-5, (la, lb)
+
+
+def test_build_model_stateful_distribution(key):
+    from brancher_tpu.serialization import build_model, model_spec, spec_matches
+    from brancher_tpu.stochastic_processes import HMMVariable
+
+    locs = NormalVariable(jnp.zeros(2), 5.0 * jnp.ones(2), "locs")
+    series = HMMVariable(30, init_logits=jnp.zeros(2),
+                         trans_logits=jnp.log(jnp.asarray([[0.9, 0.1],
+                                                           [0.2, 0.8]])),
+                         locs=locs, scales=jnp.asarray([0.7, 0.7]), name="y")
+    series.observe(np.random.RandomState(1).randn(30).astype(np.float32))
+    model = ProbabilisticModel([series])
+
+    spec = json.loads(json.dumps(model_spec(model, include_links=True)))
+    rebuilt = build_model(spec)
+    assert spec_matches(rebuilt, model_spec(model))
+    comp_a, comp_b = model.compiled(), rebuilt.compiled()
+    z = {"locs": jnp.asarray([0.5, -0.5])}
+    la = float(comp_a.log_density_z(comp_a.initial_params, z, None))
+    lb = float(comp_b.log_density_z(comp_b.initial_params, z, None))
+    assert abs(la - lb) < 1e-4, (la, lb)
+
+
+def test_build_model_opaque_link_raises():
+    import brancher_tpu.functions as BF
+    from brancher_tpu.serialization import build_model, model_spec
+
+    mu = NormalVariable(0.0, 1.0, "mu")
+    x = NormalVariable(BF.exp(mu) + 1.0, 1.0, "x")
+    model = ProbabilisticModel([x])
+    spec = model_spec(model, include_links=True)
+    assert spec["variables"][-1]["links"]["loc"]["kind"] == "opaque"
+    try:
+        build_model(spec)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "opaque" in str(e) and "save_model" in str(e)
