@@ -20,6 +20,7 @@ from .variables import (
 from .standard_variables import *  # noqa: F401,F403
 from .compiler import CompiledModel, compile_model
 from .stochastic_processes import ARProcess, MarkovProcess
+from .dashboard import export_dashboard_html
 from .transformations import (
     PlanarFlow,
     Sigmoid as SigmoidFlow,

@@ -72,3 +72,35 @@ def test_mcmc_summary(key):
                  num_warmup=50, num_chains=2, key=key)
     summary = summarize_mcmc(res)
     assert "mu" in summary and "ess" in summary["mu"]
+
+
+def test_dashboard_export(tmp_path, key):
+    """Self-contained HTML dashboard (ROADMAP r2 #11): structure checks —
+    panels per flattened coordinate, stats table as the table view,
+    tooltips/crosshair wiring, dark-mode tokens, text never in series
+    colors (palette is the skill-validated reference instance)."""
+    import re
+
+    from brancher_tpu import NormalVariable, ProbabilisticModel
+    from brancher_tpu.dashboard import export_dashboard_html
+    from brancher_tpu.inference import NUTS, sample
+
+    mu = NormalVariable(0.0, 2.0, "mu")
+    x = NormalVariable(mu, 1.0, "x", plate_shape=(3,))
+    x.observe(np.asarray([0.5, 1.0, 1.5], np.float32))
+    res = sample(ProbabilisticModel([x]), kernel=NUTS(max_depth=6),
+                 num_samples=200, num_warmup=200, num_chains=4, key=key)
+    p = export_dashboard_html(res, str(tmp_path / "d.html"), title="t")
+    s = open(p).read()
+    assert s.count('class="panel"') == 1  # mu (x observed)
+    assert "<svg" in s and 'class="cross"' in s and "data-tt" in s
+    assert "prefers-color-scheme: dark" in s
+    assert "Summary table" in s and "R-hat" in s
+    assert not re.findall(r'<text[^>]*fill="var\(--s\d', s)
+
+    # raw-dict input, multi-coordinate, panel cap + truncation note
+    d = {"w": np.random.RandomState(0).randn(4, 100, 7)}
+    p2 = export_dashboard_html(d, str(tmp_path / "d2.html"), max_panels=5)
+    s2 = open(p2).read()
+    assert s2.count('class="panel"') == 5
+    assert "truncated at max_panels" in s2
