@@ -283,6 +283,7 @@ def _run_vectorized(
             target_accept=target_accept, init_step_size=init_eps,
             max_delta_energy=getattr(kernel, "max_delta_energy", 1000.0),
             axis_name=axis_name, inv_mass0=inv_mass0,
+            pipeline=getattr(kernel, "pipelined", False),
         )
         stats = {
             "accept_prob": res.accept_prob,

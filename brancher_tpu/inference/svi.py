@@ -207,6 +207,7 @@ def perform_inference(
     batch_axis: str = "batch",
     progress: bool = False,
     progress_interval: int = 100,
+    matmul_precision: Optional[str] = None,
 ) -> InferenceResult:
     """Run SVI / point estimation (reference entry point, SURVEY.md §3.4).
 
@@ -219,6 +220,12 @@ def perform_inference(
     S/n_dev-sample ELBO shard and the mean reduces with ``pmean`` (psum
     over ICI) — BASELINE.json's "sharded Monte-Carlo batches".
     Gradients flow through shard_map, so the optimizer step stays global.
+
+    matmul_precision: e.g. "bfloat16" runs every matmul in the loss
+    (guide MLPs, decoder, log-densities) at reduced precision on the MXU
+    while parameters and the optimizer stay f32 — the standard TPU
+    mixed-precision recipe (ROADMAP r2 #5).  None keeps the backend
+    default ("highest" on this chip).
     """
     import optax
 
@@ -314,9 +321,14 @@ def perform_inference(
         def step(carry, xs):
             opt_params, opt_state = carry
             k, i = xs
-            loss, grads = jax.value_and_grad(
-                lambda p: loss_fn(p, k, number_samples)
-            )(opt_params)
+
+            def loss_at(p):
+                if matmul_precision is None:
+                    return loss_fn(p, k, number_samples)
+                with jax.default_matmul_precision(matmul_precision):
+                    return loss_fn(p, k, number_samples)
+
+            loss, grads = jax.value_and_grad(loss_at)(opt_params)
             updates, opt_state = tx.update(grads, opt_state, opt_params)
             opt_params = optax.apply_updates(opt_params, updates)
             if progress:

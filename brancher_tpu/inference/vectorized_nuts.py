@@ -306,6 +306,305 @@ def nuts_transition_batched(
     )
 
 
+class _PS(NamedTuple):
+    """Per-chain state of the draw-PIPELINED sampling loop: every field
+    that was a scalar in the lockstep engine (leaf index n, schedule
+    metadata, draw counter) is a [C] vector here."""
+
+    it: Array  # scalar: global loop iteration (RNG folding)
+    draw: Array  # [C] draws completed
+    n: Array  # [C] per-chain leaf index in the current tree (0 = fresh)
+    z: Array; val: Array; grad: Array  # [C(,d)] current position
+    h0: Array  # [C] energy at draw start
+    left_z: Array; left_r: Array; left_grad: Array
+    right_z: Array; right_r: Array; right_grad: Array
+    prop_z: Array; prop_val: Array; prop_grad: Array
+    lw: Array; r_sum: Array
+    m_z: Array; m_r: Array; m_grad: Array
+    s_lw: Array; s_cum: Array
+    sp_z: Array; sp_val: Array; sp_grad: Array
+    s_failed: Array
+    z_ck: Array; r_ck: Array; rs_ck: Array
+    dirn: Array
+    active: Array  # [C] current tree still growing
+    dvg_draw: Array  # [C] divergence seen this draw
+    sum_acc: Array; cnt: Array
+    # output buffers, written at per-chain draw completion
+    zs_out: Array  # [S, C, d]
+    acc_out: Array  # [S, C]
+    dvg_out: Array  # [S, C]
+    cnt_out: Array  # [S, C]
+
+
+def _pipelined_sampling(
+    value_and_grad_fn, z, val, grad, eps, inv_mass, key, num_samples,
+    max_depth, max_delta_energy,
+):
+    """Sampling phase with per-chain draw pipelining (ROADMAP r2 #10).
+
+    The lockstep engine runs max-over-chains tree iterations per draw;
+    measured waste is 1.0x on well-conditioned posteriors but 3.16x on
+    the eight-schools funnel (scripts/exp_nuts_waste.py).  Here each
+    chain refreshes momentum and starts its NEXT draw in the very
+    iteration after its U-turn — total iterations approach
+    max_c(sum_draws tree_c) ~ S * mean instead of sum_draws(max_c tree_c)
+    (measured: 29k vs 74k iterations on the funnel).
+
+    BACKEND CAVEAT (why this stays opt-in): on the current axon backend
+    any scattered write into a while-loop carry copies the whole output
+    buffer per iteration (scripts/exp_scatter_in_while.py), so despite
+    2.5x fewer iterations the engine runs slower end-to-end there.  On
+    backends whose compiler aliases scatters in place, the iteration
+    saving is the wall-clock saving.
+
+    RNG: per-iteration per-chain keys fold_in(fold_in(key, chain), it) —
+    a different (but equally valid) stream than the lockstep engine, so
+    results are deterministic per seed but not bit-equal across engines.
+    """
+    c, d = z.shape
+    dtype = z.dtype
+    kdim = max_depth + 1
+    max_n = jnp.asarray(2**max_depth, jnp.int32)
+    s_len = num_samples
+    cidx = jnp.arange(c)
+    neg_inf = jnp.full((c,), -jnp.inf, dtype)
+    zeros_c = jnp.zeros((c,), dtype)
+    zeros_cd = jnp.zeros((c, d), dtype)
+
+    s0 = _PS(
+        it=jnp.zeros((), jnp.int32),
+        draw=jnp.zeros((c,), jnp.int32),
+        n=jnp.zeros((c,), jnp.int32),  # 0 => start a fresh draw
+        z=z, val=val, grad=grad, h0=zeros_c,
+        left_z=z, left_r=zeros_cd, left_grad=grad,
+        right_z=z, right_r=zeros_cd, right_grad=grad,
+        prop_z=z, prop_val=val, prop_grad=grad,
+        lw=zeros_c, r_sum=zeros_cd,
+        m_z=z, m_r=zeros_cd, m_grad=grad,
+        s_lw=neg_inf, s_cum=zeros_cd,
+        sp_z=z, sp_val=val, sp_grad=grad,
+        s_failed=jnp.zeros((c,), bool),
+        z_ck=jnp.zeros((c, kdim, d), dtype),
+        r_ck=jnp.zeros((c, kdim, d), dtype),
+        rs_ck=jnp.zeros((c, kdim, d), dtype),
+        dirn=jnp.ones((c,), dtype),
+        active=jnp.zeros((c,), bool),
+        dvg_draw=jnp.zeros((c,), bool),
+        sum_acc=zeros_c, cnt=zeros_c,
+        # one extra DUMP row: non-finished chains scatter there, so the
+        # write needs no read-modify-select — a pure scatter XLA can do
+        # in place (the gather+select variant forced a full buffer copy
+        # per iteration: measured 1.7 ms/iter = one 131 MB copy at HBM
+        # speed at bench scale)
+        zs_out=jnp.zeros((s_len + 1, c, d), dtype),
+        acc_out=jnp.zeros((s_len + 1, c), dtype),
+        dvg_out=jnp.zeros((s_len + 1, c), bool),
+        cnt_out=jnp.zeros((s_len + 1, c), dtype),
+    )
+
+    def cond(s: _PS):
+        return jnp.any(s.draw < s_len)
+
+    def body(s: _PS) -> _PS:
+        working = s.draw < s_len  # chains with draws left
+        # one key per iteration; [C]-shaped draws are iid across lanes
+        # and iterations — per-chain key trees would buy nothing
+        k_mom, k_dir, k_swap, k_take = jax.random.split(
+            jax.random.fold_in(key, s.it), 4
+        )
+
+        # --- per-chain draw start: refresh momentum, reset the tree ------
+        starting = jnp.logical_and(s.n == 0, working)
+        st = starting[:, None]
+        r0 = jax.random.normal(k_mom, (c, d), dtype) / jnp.sqrt(inv_mass)[None, :]
+        h0 = jnp.where(starting, -s.val + _ke(r0, inv_mass), s.h0)
+        left_z = jnp.where(st, s.z, s.left_z)
+        left_r = jnp.where(st, r0, s.left_r)
+        left_grad = jnp.where(st, s.grad, s.left_grad)
+        right_z = jnp.where(st, s.z, s.right_z)
+        right_r = jnp.where(st, r0, s.right_r)
+        right_grad = jnp.where(st, s.grad, s.right_grad)
+        prop_z = jnp.where(st, s.z, s.prop_z)
+        prop_val = jnp.where(starting, s.val, s.prop_val)
+        prop_grad = jnp.where(st, s.grad, s.prop_grad)
+        lw = jnp.where(starting, 0.0, s.lw)
+        r_sum = jnp.where(st, r0, s.r_sum)
+        active = jnp.where(starting, True, s.active)
+        dvg_draw = jnp.where(starting, False, s.dvg_draw)
+        sum_acc = jnp.where(starting, 0.0, s.sum_acc)
+        cnt = jnp.where(starting, 0.0, s.cnt)
+        n = jnp.where(starting, 1, s.n)  # leaf 1 processes this iteration
+
+        # --- per-chain static-schedule metadata ([C] vectors) ------------
+        n_safe = jnp.maximum(n, 1)
+        depth = 31 - jax.lax.clz(n_safe)
+        m = n_safe - (jnp.asarray(1, jnp.int32) << depth)
+        is_start = m == 0
+        sub_size = jnp.asarray(1, jnp.int32) << depth
+        is_end = m == sub_size - 1
+        pc = jax.lax.population_count(m)
+        t_ones = jax.lax.population_count((m ^ (m + 1)) >> 1)
+        even = (m % 2) == 0
+
+        # --- subtree start: per-chain direction + moving end + reset ------
+        new_dir = jnp.where(
+            jax.random.bernoulli(k_dir, 0.5, (c,)), 1.0, -1.0
+        ).astype(dtype)
+        dirn = jnp.where(is_start, new_dir, s.dirn)
+        take_right = dirn > 0
+
+        def sel_end(r_val, l_val):
+            return jnp.where(take_right[:, None], r_val, l_val)
+
+        m_z = jnp.where(is_start[:, None], sel_end(right_z, left_z), s.m_z)
+        m_r = jnp.where(is_start[:, None], sel_end(right_r, left_r), s.m_r)
+        m_grad = jnp.where(is_start[:, None],
+                           sel_end(right_grad, left_grad), s.m_grad)
+        s_lw = jnp.where(is_start, -jnp.inf, s.s_lw)
+        s_cum = jnp.where(is_start[:, None], 0.0, s.s_cum)
+        s_failed = jnp.where(is_start, False, s.s_failed)
+
+        # --- one batched leapfrog from the moving end ---------------------
+        eps_c = (eps * dirn)[:, None]
+        r_half = m_r + 0.5 * eps_c * m_grad
+        z_new = m_z + eps_c * inv_mass[None, :] * r_half
+        val_new, grad_new = value_and_grad_fn(z_new)
+        r_new = r_half + 0.5 * eps_c * grad_new
+
+        h = -val_new + _ke(r_new, inv_mass)
+        h = jnp.where(jnp.isnan(h), jnp.inf, h)
+        lw_leaf = h0 - h
+        dvg = (h - h0) > max_delta_energy
+        live = jnp.logical_and(
+            jnp.logical_and(active, jnp.logical_not(s_failed)), working
+        )
+
+        acc = jnp.exp(jnp.minimum(lw_leaf, 0.0))
+        sum_acc = sum_acc + jnp.where(live, acc, 0.0)
+        cnt = cnt + jnp.where(live, 1.0, 0.0)
+
+        # --- checkpoints: per-chain slot pc (scatter, masked on even) -----
+        def store(ck, new_val):
+            updated = ck.at[cidx, pc].set(new_val)
+            return jnp.where((even & live)[:, None, None], updated, ck)
+
+        z_ck = store(s.z_ck, z_new)
+        r_ck = store(s.r_ck, r_new)
+        rs_ck = store(s.rs_ck, s_cum)
+
+        # --- progressive multinomial within the subtree -------------------
+        s_cum_new = s_cum + r_new
+        s_lw_new = jnp.logaddexp(s_lw, lw_leaf)
+        swap = jax.random.uniform(k_swap, (c,)) < jnp.exp(lw_leaf - s_lw_new)
+        sp_z = jnp.where((live & swap)[:, None], z_new, s.sp_z)
+        sp_val = jnp.where(live & swap, val_new, s.sp_val)
+        sp_grad = jnp.where((live & swap)[:, None], grad_new, s.sp_grad)
+
+        # --- U-turn checks vs the checkpoint stack (odd leaves) -----------
+        rho_all = s_cum_new[:, None, :] - rs_ck
+        dot_a = jnp.einsum("ckd,ckd->ck", rho_all, r_ck * inv_mass[None, None, :])
+        vb = (r_new * inv_mass[None, :])[:, None, :]
+        dot_b = jnp.einsum("ckd,ckd->ck", rho_all,
+                           jnp.broadcast_to(vb, rho_all.shape))
+        turn_all = jnp.logical_or(dot_a <= 0.0, dot_b <= 0.0)
+        slot_ids = jnp.arange(kdim, dtype=jnp.int32)
+        in_range = jnp.logical_and(
+            slot_ids[None, :] >= (pc - t_ones)[:, None],
+            slot_ids[None, :] < pc[:, None],
+        )  # [C, K]
+        turn_sub = jnp.any(jnp.logical_and(turn_all, in_range), axis=1)
+        turn_sub = jnp.logical_and(turn_sub, jnp.logical_not(even))
+
+        new_fail = live & (dvg | turn_sub)
+        s_failed = jnp.logical_or(s_failed, new_fail)
+        dvg_draw = jnp.logical_or(dvg_draw, live & dvg)
+
+        upd = live & jnp.logical_not(new_fail)
+        s_lw = jnp.where(upd, s_lw_new, s_lw)
+        s_cum = jnp.where(upd[:, None], s_cum_new, s_cum)
+        m_z = jnp.where(upd[:, None], z_new, m_z)
+        m_r = jnp.where(upd[:, None], r_new, m_r)
+        m_grad = jnp.where(upd[:, None], grad_new, m_grad)
+
+        # --- subtree end: merge into the global tree ----------------------
+        merging = jnp.logical_and(is_end, upd)
+        p_take = jnp.exp(jnp.minimum(s_lw - lw, 0.0))
+        take = jnp.logical_and(
+            merging, jax.random.uniform(k_take, (c,)) < p_take
+        )
+        prop_z = jnp.where(take[:, None], sp_z, prop_z)
+        prop_val = jnp.where(take, sp_val, prop_val)
+        prop_grad = jnp.where(take[:, None], sp_grad, prop_grad)
+
+        right_sel = jnp.logical_and(merging, take_right)
+        left_sel = jnp.logical_and(merging, jnp.logical_not(take_right))
+        right_z = jnp.where(right_sel[:, None], m_z, right_z)
+        right_r = jnp.where(right_sel[:, None], m_r, right_r)
+        right_grad = jnp.where(right_sel[:, None], m_grad, right_grad)
+        left_z = jnp.where(left_sel[:, None], m_z, left_z)
+        left_r = jnp.where(left_sel[:, None], m_r, left_r)
+        left_grad = jnp.where(left_sel[:, None], m_grad, left_grad)
+
+        r_sum = jnp.where(merging[:, None], r_sum + s_cum, r_sum)
+        lw = jnp.where(merging, jnp.logaddexp(lw, s_lw), lw)
+
+        full_turn = _turning(r_sum, left_r, right_r, inv_mass)
+
+        active_new = active
+        active_new = jnp.logical_and(active_new, jnp.logical_not(is_end & s_failed))
+        active_new = jnp.logical_and(active_new, jnp.logical_not(new_fail))
+        active_new = jnp.logical_and(active_new, jnp.logical_not(merging & full_turn))
+
+        n_new = jnp.where(working, n + 1, n)
+        budget_out = n_new >= max_n
+        finished = jnp.logical_and(
+            working, jnp.logical_or(jnp.logical_not(active_new), budget_out)
+        )
+
+        # --- write completed draws (pure scatter; dump row = s_len) -------
+        row = jnp.where(finished, jnp.clip(s.draw, 0, s_len - 1), s_len)
+        acc_prob = sum_acc / jnp.maximum(cnt, 1.0)
+        zs_out = s.zs_out.at[row, cidx].set(prop_z)
+        acc_out = s.acc_out.at[row, cidx].set(acc_prob)
+        dvg_out = s.dvg_out.at[row, cidx].set(dvg_draw)
+        cnt_out = s.cnt_out.at[row, cidx].set(cnt)
+
+        draw = s.draw + finished.astype(jnp.int32)
+        # finished chains adopt the accepted proposal and restart at n=0
+        z_cur = jnp.where(finished[:, None], prop_z, s.z)
+        val_cur = jnp.where(finished, prop_val, s.val)
+        grad_cur = jnp.where(finished[:, None], prop_grad, s.grad)
+        n_new = jnp.where(finished, 0, n_new)
+        active_new = jnp.logical_and(active_new, jnp.logical_not(finished))
+
+        return _PS(
+            it=s.it + 1, draw=draw, n=n_new,
+            z=z_cur, val=val_cur, grad=grad_cur, h0=h0,
+            left_z=left_z, left_r=left_r, left_grad=left_grad,
+            right_z=right_z, right_r=right_r, right_grad=right_grad,
+            prop_z=prop_z, prop_val=prop_val, prop_grad=prop_grad,
+            lw=lw, r_sum=r_sum,
+            m_z=m_z, m_r=m_r, m_grad=m_grad,
+            s_lw=s_lw, s_cum=s_cum,
+            sp_z=sp_z, sp_val=sp_val, sp_grad=sp_grad,
+            s_failed=s_failed,
+            z_ck=z_ck, r_ck=r_ck, rs_ck=rs_ck,
+            dirn=dirn, active=active_new, dvg_draw=dvg_draw,
+            sum_acc=sum_acc, cnt=cnt,
+            zs_out=zs_out, acc_out=acc_out, dvg_out=dvg_out, cnt_out=cnt_out,
+        )
+
+    s = jax.lax.while_loop(cond, body, s0)
+    total_iters = s.it
+    return (
+        jnp.swapaxes(s.zs_out[:s_len], 0, 1),  # [C, S, d]
+        jnp.swapaxes(s.acc_out[:s_len], 0, 1),
+        jnp.swapaxes(s.dvg_out[:s_len], 0, 1),
+        total_iters,
+        jnp.mean(s.cnt_out[:s_len], axis=1),  # [S] mean live leapfrogs/draw
+    )
+
+
 def nuts_batched(
     value_and_grad_fn: Callable[[Array], Tuple[Array, Array]],
     z0: Array,
@@ -319,6 +618,7 @@ def nuts_batched(
     axis_name=None,
     inv_mass0=None,
     chunk: int = 1,
+    pipeline: bool = False,
 ) -> VectorizedNUTSResult:
     """Full vectorized-NUTS run with shared warmup adaptation."""
     c, d = z0.shape
@@ -374,6 +674,25 @@ def nuts_batched(
         jnp.exp(da.log_step_avg) if num_warmup > 0
         else jnp.asarray(init_step_size, dtype)
     )
+
+    if pipeline:
+        with jax.named_scope("nuts_sampling_pipelined"):
+            zs_cs, aps_cs, dvgs_cs, total_iters, c_leaps = _pipelined_sampling(
+                value_and_grad_fn, z, val, grad, eps_final, inv_mass,
+                k_samp, num_samples, max_depth, max_delta_energy,
+            )
+        # per-draw loop-iteration counts have no lockstep meaning here;
+        # report the amortized iterations/draw so FLOP accounting
+        # (sum over draws) still totals the executed iterations
+        n_leaps = jnp.full(
+            (num_samples,),
+            (total_iters + num_samples - 1) // num_samples, jnp.int32,
+        )
+        return VectorizedNUTSResult(
+            samples=zs_cs, accept_prob=aps_cs, diverging=dvgs_cs,
+            num_leapfrog=n_leaps, step_size=eps_final, inv_mass=inv_mass,
+            warmup_leapfrog=warmup_leapfrog, chain_leapfrog=c_leaps,
+        )
 
     def sample_body(carry, k):
         z, val, grad = carry

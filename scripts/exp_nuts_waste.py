@@ -63,3 +63,17 @@ print(f"  loop iterations/draw:   mean {num_lf.mean():.1f}  "
       f"p50 {np.median(num_lf):.0f}  p95 {np.percentile(num_lf,95):.0f}")
 print(f"  live leapfrogs/draw:    mean {chain_lf.mean():.1f}")
 print(f"  lockstep waste factor:  {num_lf.mean()/chain_lf.mean():.2f}x")
+
+# --- pipelined engine timing (same shapes) ------------------------------
+print()
+for name, m_, kw_ in (("bench-logreg", model, kw), ("eight-schools", m8, kw8)):
+    kp = dict(kw_)
+    kp["kernel"] = NUTS(max_depth=kp["kernel"].max_depth, pipelined=True)
+    rp = sample(m_, **kp)
+    rp = sample(m_, **kp)
+    it = int(np.sum(np.asarray(rp.stats["num_steps"])[0]))
+    ess_name = "w" if name == "bench-logreg" else "mu"
+    ess = float(np.min(np.asarray(rp.diagnostics["ess"][ess_name])))
+    print(f"{name} PIPELINED: sampler={rp.diagnostics['sampler_seconds']:.2f}s "
+          f"total_iters={it} minESS({ess_name})={ess:.0f} "
+          f"acc={float(rp.diagnostics['mean_accept_prob']):.3f}")

@@ -217,3 +217,54 @@ def test_runner_cache_no_false_sharing(key):
     n_mid = len(_RUNNER_CACHE)
     sample(model, **kwargs)
     assert len(_RUNNER_CACHE) == n_mid > n_before - 1
+
+
+# -- draw-pipelined sampling (ROADMAP r2 #10) ----------------------------
+
+from brancher_tpu import NormalVariable, ProbabilisticModel
+
+
+def test_pipelined_nuts_conjugate_moments(key):
+    """Pipelined engine must reproduce the exact conjugate posterior."""
+    obs = np.random.RandomState(0).randn(16).astype(np.float32) + 1.5
+    mu = NormalVariable(0.0, 2.0, "mu")
+    x = NormalVariable(mu, 1.0, "x", plate_shape=(16,))
+    x.observe(obs)
+    m = ProbabilisticModel([x])
+    v_post = 1.0 / (0.25 + 16)
+    m_post = v_post * obs.sum()
+    res = sample(m, kernel=NUTS(max_depth=8, pipelined=True),
+                 num_samples=1500, num_warmup=500, num_chains=8, key=key)
+    s = np.asarray(res.samples["mu"])
+    se = np.sqrt(v_post / max(float(np.asarray(res.diagnostics["ess"]["mu"])), 1))
+    assert abs(s.mean() - m_post) < 5 * se + 0.02, (s.mean(), m_post)
+    assert abs(s.var() - v_post) < 0.25 * v_post, (s.var(), v_post)
+    assert float(res.diagnostics["r_hat"]["mu"]) < 1.02
+    assert int(res.diagnostics["num_divergences"]) == 0
+    assert res.samples["mu"].shape == (8, 1500)
+
+
+def test_pipelined_matches_lockstep_on_funnel(key):
+    """Eight-schools geometry: pipelined and lockstep engines agree on
+    posterior moments (same seed, different-but-valid RNG streams)."""
+    from brancher_tpu import HalfCauchyVariable
+
+    mu = NormalVariable(0.0, 5.0, "mu")
+    tau = HalfCauchyVariable(5.0, "tau")
+    theta = NormalVariable(mu, tau, "theta", plate_shape=(8,))
+    sigma = np.asarray([15., 10., 16., 11., 9., 11., 10., 18.], np.float32)
+    obs = NormalVariable(theta, sigma, "y")
+    obs.observe(np.asarray([28., 8., -3., 7., -1., 1., 18., 12.], np.float32))
+    m = ProbabilisticModel([obs])
+    kw = dict(num_samples=800, num_warmup=500, num_chains=16, key=key)
+    r_lock = sample(m, kernel=NUTS(max_depth=9), **kw)
+    r_pipe = sample(m, kernel=NUTS(max_depth=9, pipelined=True), **kw)
+    for name in ("mu", "tau"):
+        a = float(np.mean(np.asarray(r_lock.samples[name])))
+        b = float(np.mean(np.asarray(r_pipe.samples[name])))
+        assert abs(a - b) < 0.75, (name, a, b)
+    # pipelined must do fewer total loop iterations than lockstep on a
+    # geometry with heterogeneous tree sizes
+    it_lock = int(np.sum(np.asarray(r_lock.stats["num_steps"][0])))
+    it_pipe = int(np.sum(np.asarray(r_pipe.stats["num_steps"][0])))
+    assert it_pipe < it_lock, (it_pipe, it_lock)
