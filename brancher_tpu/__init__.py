@@ -21,6 +21,7 @@ from .standard_variables import *  # noqa: F401,F403
 from .compiler import CompiledModel, compile_model
 from .stochastic_processes import ARProcess, MarkovProcess
 from .dashboard import export_dashboard_html
+from .model_comparison import compare, loo, waic
 from .transformations import (
     PlanarFlow,
     Sigmoid as SigmoidFlow,

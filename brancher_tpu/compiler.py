@@ -323,6 +323,43 @@ class CompiledModel:
                 raise ValueError(f"latent {v.name!r} missing from values")
         return lp
 
+    def pointwise_log_likelihood(
+        self, params, values: Dict[str, Array],
+        given: Optional[Dict[str, Array]] = None,
+    ) -> Dict[str, Array]:
+        """Element-wise log-likelihood of each OBSERVED variable at the
+        (constrained) latent ``values`` — the per-datapoint matrix that
+        WAIC / PSIS-LOO need (model_comparison.py).  log_prob_scale and
+        missing-data masks multiply element-wise (masked points report
+        0; exclude them downstream)."""
+        store = self._as_store(params)
+        given = given or {}
+        walk_values: Dict[str, Array] = dict(given)
+        out: Dict[str, Array] = {}
+        for v in self.order:
+            if v.name in given:
+                continue
+            if isinstance(v, DeterministicVariable):
+                walk_values[v.name] = v.compute(walk_values, store)
+                continue
+            assert isinstance(v, RandomVariable)
+            p = self._expand_plate(v, v.eval_params(walk_values, store))
+            if v.is_observed and v.name not in values:
+                value = self._observed_value(v, walk_values, store)
+                walk_values[v.name] = value
+                lp = v.distribution.log_prob(value, **p)
+                mask = getattr(v, "log_prob_mask", None)
+                if mask is not None:
+                    lp = lp * mask
+                if v.log_prob_scale != 1.0:
+                    lp = v.log_prob_scale * lp
+                out[v.name] = lp
+            elif v.name in values:
+                walk_values[v.name] = values[v.name]
+            else:
+                raise ValueError(f"latent {v.name!r} missing from values")
+        return out
+
     def log_density_z(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Array:
         _, logp = self._walk_z(self._as_store(params), z, given or {})
         return logp

@@ -1,0 +1,215 @@
+"""Predictive model comparison: WAIC and PSIS-LOO.
+
+Beyond-parity capability (the reference has no information criteria;
+SURVEY.md §2): the modern Bayesian workflow's model-selection tools —
+WAIC (Watanabe 2010) and Pareto-smoothed importance-sampling
+leave-one-out cross-validation (Vehtari, Gelman & Gabry 2017).
+
+TPU-first split: the [draws, n_points] pointwise log-likelihood matrix
+evaluates on device as ONE vmapped batch over posterior draws
+(compiler.pointwise_log_likelihood); the statistics (logsumexp moments,
+generalized-Pareto tail fits) are one-shot host numpy — the same
+device/host division as inference/diagnostics.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import numpy as np
+
+
+class ELPDResult(NamedTuple):
+    """Expected log pointwise predictive density estimate."""
+
+    elpd: float  # sum over points
+    se: float  # standard error of elpd (over points)
+    p_eff: float  # effective number of parameters
+    deviance: float  # -2 * elpd (WAIC / LOOIC scale)
+    pointwise: np.ndarray  # [n_points] elpd contributions
+    pareto_k: Optional[np.ndarray] = None  # [n_points], PSIS-LOO only
+    method: str = ""
+
+    def __repr__(self):
+        extra = ""
+        if self.pareto_k is not None:
+            n_bad = int(np.sum(self.pareto_k > 0.7))
+            extra = f" pareto_k>0.7: {n_bad}"
+        return (
+            f"<{self.method} elpd={self.elpd:.1f} se={self.se:.1f} "
+            f"p_eff={self.p_eff:.1f}{extra}>"
+        )
+
+
+def pointwise_log_likelihood(model, result, params=None, max_draws: int = 1000,
+                             given=None) -> np.ndarray:
+    """[draws, n_points] pointwise log-lik matrix from an MCMCResult (or
+    a {name: [chains, draws, ...]} dict of posterior samples).
+
+    Draws are pooled over chains and thinned uniformly to ``max_draws``.
+    Evaluation is one jitted vmap over draws on the default backend.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    comp = model.compiled() if hasattr(model, "compiled") else model
+    if params is None:
+        params = comp.initial_params
+    samples = result.samples if hasattr(result, "samples") else dict(result)
+    names = [n for n in comp.continuous_latent_names if n in samples]
+    if not names:
+        raise ValueError("no continuous latent samples found in result")
+
+    flat = {}
+    total = None
+    for n in names:
+        arr = jnp.asarray(samples[n])
+        arr = arr.reshape((-1,) + arr.shape[2:])
+        total = arr.shape[0] if total is None else total
+        flat[n] = arr
+    stride = max(1, total // max_draws)
+    flat = {n: a[::stride] for n, a in flat.items()}
+
+    def one(vals):
+        pls = comp.pointwise_log_likelihood(params, vals, given)
+        return jnp.concatenate([jnp.ravel(pls[k]) for k in sorted(pls)])
+
+    mat = jax.jit(jax.vmap(one))(flat)
+    return np.asarray(mat, np.float64)
+
+
+def waic(model, result, params=None, max_draws: int = 1000) -> ELPDResult:
+    """WAIC (Watanabe-Akaike information criterion), Vehtari et al. eq 10-12."""
+    ll = pointwise_log_likelihood(model, result, params, max_draws)
+    s = ll.shape[0]
+    lppd_i = _logmeanexp(ll, axis=0)
+    p_i = np.var(ll, axis=0, ddof=1)
+    elpd_i = lppd_i - p_i
+    return _pack(elpd_i, float(np.sum(p_i)), "WAIC")
+
+
+def loo(model, result, params=None, max_draws: int = 1000) -> ELPDResult:
+    """PSIS-LOO cross-validation (Vehtari, Gelman & Gabry 2017)."""
+    ll = pointwise_log_likelihood(model, result, params, max_draws)
+    elpd_i, ks = _psis_elpd(ll)
+    lppd_i = _logmeanexp(ll, axis=0)
+    p_eff = float(np.sum(lppd_i - elpd_i))
+    res = _pack(elpd_i, p_eff, "PSIS-LOO")
+    return res._replace(pareto_k=ks)
+
+
+def compare(results: Dict[str, ELPDResult]) -> str:
+    """Rank models by elpd; returns a fixed-width report (best first)
+    with pairwise elpd differences and their standard errors."""
+    order = sorted(results, key=lambda k: -results[k].elpd)
+    best = results[order[0]]
+    lines = [f"{'model':<20} {'elpd':>10} {'se':>8} {'d_elpd':>10} {'d_se':>8} {'p_eff':>8}"]
+    for name in order:
+        r = results[name]
+        d = r.elpd - best.elpd
+        # se of the DIFFERENCE uses pointwise pairing (ibid. §5.2)
+        if r is best:
+            d_se = 0.0
+        else:
+            diff = r.pointwise - best.pointwise
+            d_se = float(np.sqrt(len(diff) * np.var(diff)))
+        lines.append(
+            f"{name:<20} {r.elpd:>10.1f} {r.se:>8.1f} {d:>10.1f} "
+            f"{d_se:>8.1f} {r.p_eff:>8.1f}"
+        )
+    return "\n".join(lines)
+
+
+# ----------------------------------------------------------------------
+# internals
+# ----------------------------------------------------------------------
+
+def _logmeanexp(x, axis=0):
+    m = np.max(x, axis=axis)
+    return m + np.log(np.mean(np.exp(x - m), axis=axis))
+
+
+def _pack(elpd_i: np.ndarray, p_eff: float, method: str) -> ELPDResult:
+    n = elpd_i.shape[0]
+    elpd = float(np.sum(elpd_i))
+    se = float(np.sqrt(n * np.var(elpd_i)))
+    return ELPDResult(elpd=elpd, se=se, p_eff=p_eff, deviance=-2.0 * elpd,
+                      pointwise=elpd_i, method=method)
+
+
+def _gpd_fit(x: np.ndarray):
+    """Generalized-Pareto (k, sigma) fit by the Zhang & Stephens (2009)
+    quasi-Bayes profile method, in the MODERN shape convention (k = xi:
+    positive = heavy tail).  With theta = -k/sigma the profile MLE is
+    k(theta) = mean(log(1 - theta x)) and the profile log-likelihood is
+    n*(log(-theta/k) - k - 1)."""
+    x = np.sort(x)
+    n = x.shape[0]
+    prior_bs = 3.0
+    m_est = 30 + int(np.sqrt(n))
+    b = 1.0 - np.sqrt(m_est / (np.arange(1, m_est + 1) - 0.5))
+    b = b / (prior_bs * x[int(n / 4 + 0.5) - 1]) + 1.0 / x[-1]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k_b = np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
+        ll = n * (np.log(-b / k_b) - k_b - 1.0)
+    ll = np.where(np.isfinite(ll), ll, -np.inf)
+    w = 1.0 / np.sum(np.exp(ll[None, :] - ll[:, None]), axis=1)
+    w = np.where(np.isfinite(w), w, 0.0)
+    w = w / np.sum(w)
+    b_post = np.sum(b * w)
+    k_post = np.mean(np.log1p(-b_post * x))
+    sigma = -k_post / b_post
+    # weak prior regularization toward k=0.5 (arviz default)
+    k_post = (n * k_post + 10.0 * 0.5) / (n + 10.0)
+    return k_post, sigma
+
+
+def _gpd_quantiles(p: np.ndarray, k: float, sigma: float) -> np.ndarray:
+    """GPD inverse CDF: Q(p) = (sigma/k) * ((1-p)^{-k} - 1)."""
+    if abs(k) < 1e-12:
+        return -sigma * np.log1p(-p)
+    return sigma * np.expm1(-k * np.log1p(-p)) / k
+
+
+def _psis_smooth(log_ratios: np.ndarray):
+    """Pareto-smooth one point's [S] log importance ratios; returns the
+    smoothed log weights and the tail index k."""
+    s = log_ratios.shape[0]
+    lw = log_ratios - np.max(log_ratios)
+    tail_len = max(int(np.ceil(min(0.2 * s, 3.0 * np.sqrt(s)))), 5)
+    if tail_len >= s or not np.all(np.isfinite(lw)):
+        return lw, np.inf
+    order = np.argsort(lw)
+    tail_idx = order[-tail_len:]
+    cutoff = np.exp(lw[order[-tail_len - 1]])
+    exp_tail = np.exp(lw[tail_idx]) - cutoff
+    if np.all(exp_tail <= 0) or np.allclose(exp_tail, exp_tail[0]):
+        return lw, 0.0
+    k, sigma = _gpd_fit(exp_tail[exp_tail > 0])
+    if not np.isfinite(k):
+        return lw, np.inf
+    # replace tail by expected GPD order statistics
+    p = (np.arange(1, tail_len + 1) - 0.5) / tail_len
+    smoothed = np.log(_gpd_quantiles(p, k, sigma) + cutoff)
+    lw2 = lw.copy()
+    lw2[tail_idx[np.argsort(lw[tail_idx])]] = smoothed
+    lw2 = np.minimum(lw2, 0.0)  # truncate at the raw-weight max
+    return lw2, k
+
+
+def _psis_elpd(ll: np.ndarray):
+    """[S, N] log-lik matrix -> ([N] elpd_loo contributions, [N] k-hats)."""
+    s, n = ll.shape
+    elpd = np.empty(n)
+    ks = np.empty(n)
+    for i in range(n):
+        lw, k = _psis_smooth(-ll[:, i])
+        lw = lw - _logsumexp(lw)
+        elpd[i] = _logsumexp(lw + ll[:, i])
+        ks[i] = k
+    return elpd, ks
+
+
+def _logsumexp(x):
+    m = np.max(x)
+    return m + np.log(np.sum(np.exp(x - m)))

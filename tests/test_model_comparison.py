@@ -1,0 +1,114 @@
+"""WAIC / PSIS-LOO (model_comparison.py): agreement between criteria on
+well-behaved models, correct model ranking, and Pareto-k health."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brancher_tpu import NormalVariable, ProbabilisticModel
+from brancher_tpu.inference import NUTS, sample
+from brancher_tpu.model_comparison import compare, loo, pointwise_log_likelihood, waic
+
+
+def _fit(model, key, **kw):
+    kwargs = dict(kernel=NUTS(max_depth=7), num_samples=500, num_warmup=400,
+                  num_chains=4, key=key)
+    kwargs.update(kw)
+    return sample(model, **kwargs)
+
+
+def _linear_data(n=60, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.normal(0, 1, size=n).astype(np.float32)
+    y = (1.5 * x + 0.5 + 0.6 * rng.normal(size=n)).astype(np.float32)
+    return x, y
+
+
+def _linear_model(x, y):
+    a = NormalVariable(0.0, 3.0, "a")
+    b = NormalVariable(0.0, 3.0, "b")
+    obs = NormalVariable(a * jnp.asarray(x) + b, 0.6, "y")
+    obs.observe(y)
+    return ProbabilisticModel([obs])
+
+
+def _mean_only_model(y):
+    b = NormalVariable(0.0, 3.0, "b")
+    obs = NormalVariable(b * jnp.ones(len(y)), 0.6, "y")
+    obs.observe(y)
+    return ProbabilisticModel([obs])
+
+
+def test_pointwise_matrix_shape_and_consistency(key):
+    x, y = _linear_data()
+    m = _linear_model(x, y)
+    res = _fit(m, key)
+    ll = pointwise_log_likelihood(m, res, max_draws=200)
+    assert ll.shape[1] == len(y)
+    assert 100 <= ll.shape[0] <= 250
+    # summed pointwise log-lik at the posterior mean ~ dense log-lik
+    comp = m.compiled()
+    pm = res.posterior_mean()
+    vals = {"a": pm["a"], "b": pm["b"]}
+    pls = comp.pointwise_log_likelihood(comp.initial_params, vals)
+    total = float(sum(np.sum(np.asarray(v)) for v in pls.values()))
+    dense = float(comp.log_likelihood_one(comp.initial_params, vals))
+    assert abs(total - dense) < 1e-3, (total, dense)
+
+
+def test_waic_loo_agree_and_rank_true_model(key):
+    k1, k2 = jax.random.split(key)
+    x, y = _linear_data()
+    m_true = _linear_model(x, y)
+    m_null = _mean_only_model(y)
+    r_true = _fit(m_true, k1)
+    r_null = _fit(m_null, k2)
+
+    w_true, l_true = waic(m_true, r_true), loo(m_true, r_true)
+    w_null, l_null = waic(m_null, r_null), loo(m_null, r_null)
+
+    # criteria agree with each other on a well-behaved model
+    assert abs(w_true.elpd - l_true.elpd) < max(0.2 * w_true.se, 2.0)
+    # healthy Pareto tails
+    assert float(np.mean(l_true.pareto_k < 0.7)) > 0.95
+    # the true (regression) model wins decisively
+    assert l_true.elpd > l_null.elpd + 10.0
+    assert w_true.elpd > w_null.elpd + 10.0
+    # p_eff near the actual parameter count (2) for the regression
+    assert 0.5 < w_true.p_eff < 6.0, w_true.p_eff
+
+    table = compare({"linear": l_true, "mean-only": l_null})
+    assert table.splitlines()[1].startswith("linear")
+    assert "d_elpd" in table.splitlines()[0]
+
+
+def test_loo_flags_influential_point(key):
+    """A high-leverage off-line point dominates the fit: removing it
+    would move the posterior a lot, so its importance ratios are
+    heavy-tailed and its Pareto k-hat / LOO penalty must stand out.
+    (A plain y-outlier at low leverage does NOT flag — its log-lik is
+    bad but nearly constant across draws.)"""
+    rng = np.random.RandomState(3)
+    x = rng.normal(0, 1, size=25).astype(np.float32)
+    y = (1.5 * x + 0.5 + 0.6 * rng.normal(size=25)).astype(np.float32)
+    x[7], y[7] = 5.0, -4.0  # high leverage + far off the line
+    m = _linear_model(x, y)
+    res = _fit(m, key)
+    l = loo(m, res)
+    others = np.delete(np.arange(25), 7)
+    # the influential point carries (nearly) the whole p_eff budget:
+    # its pointwise LOO penalty dwarfs every other point's
+    penalty = np.array([
+        float(p) for p in (_lppd(m, res) - l.pointwise)
+    ])
+    assert penalty[7] > 5.0 * np.max(penalty[others]), (
+        penalty[7], float(np.max(penalty[others])))
+    assert l.pareto_k[7] > np.median(l.pareto_k), (
+        l.pareto_k[7], float(np.median(l.pareto_k)))
+
+
+def _lppd(m, res):
+    from brancher_tpu.model_comparison import (
+        _logmeanexp, pointwise_log_likelihood as pll,
+    )
+
+    return _logmeanexp(pll(m, res), axis=0)
