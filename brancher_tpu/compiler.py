@@ -540,6 +540,143 @@ class CompiledModel:
                 total += float(lp_with({name: d})) - base
         return bool(abs((joint - base) - total) <= atol * max(1.0, abs(joint)))
 
+    # ------------------------------------------------------------------
+    # Chain-structured enumeration (ROADMAP r2 #7): interacting discrete
+    # latents on a Markov chain (DSL HMMs) are summed out with the
+    # forward algorithm instead of the element-wise logsumexp above.
+    # ------------------------------------------------------------------
+    def discrete_chain_info(self, params, given=None):
+        """(names, K) for the chain path: all discrete latents must be
+        SCALAR with one shared cardinality, in topological order (each
+        one's parameters may depend on the previous state — an HMM).
+        Returns None when the model does not fit that shape."""
+        info = self.discrete_enum_info(params, given)
+        if len(info) < 2:
+            return None
+        names, ks = [], []
+        for name, shape, k in info:
+            if tuple(shape) != ():
+                return None
+            names.append(name)
+            ks.append(k)
+        if len(set(ks)) != 1:
+            return None
+        return names, ks[0]
+
+    def _chain_lp_vec(self, params, z, given, names):
+        """lp(d) over a joint assignment vector d:int32[T] of the chain."""
+
+        def lp(d):
+            g = dict(given)
+            for i, n in enumerate(names):
+                g[n] = d[i]
+            return self.log_density_z(params, z, g)
+
+        return lp
+
+    def _chain_tables(self, params, z, given, names, k):
+        """(base, U[T,K], Psi[T-1,K,K]): reference density, unary
+        deviations and pairwise interactions, each from one vmapped batch
+        of full-density evaluations (T*K + (T-1)*K^2 + 1 total).
+
+        With the chain factorization logp(d) = C + sum_t phi_t(d_{t-1},
+        d_t), second differences over adjacent pairs isolate the
+        interaction exactly: Psi[t] = lp(j,k) - lp(j) - lp(k) + base."""
+        t_n = len(names)
+        lp = self._chain_lp_vec(params, z, given, names)
+        zeros = jnp.zeros((t_n,), jnp.int32)
+        base = lp(zeros)
+        tt = jnp.repeat(jnp.arange(t_n), k)
+        kk = jnp.tile(jnp.arange(k), t_n)
+        u = jax.vmap(lambda t, c: lp(zeros.at[t].set(c)))(tt, kk)
+        u = u.reshape(t_n, k) - base
+        t2 = jnp.repeat(jnp.arange(t_n - 1), k * k)
+        jj = jnp.tile(jnp.repeat(jnp.arange(k), k), t_n - 1)
+        k2 = jnp.tile(jnp.arange(k), (t_n - 1) * k)
+        pair = jax.vmap(
+            lambda t, j, c: lp(zeros.at[t].set(j).at[t + 1].set(c))
+        )(t2, jj, k2).reshape(t_n - 1, k, k) - base
+        psi = pair - u[:-1, :, None] - u[1:, None, :]
+        return base, u, psi
+
+    def chain_enumerated_log_density(
+        self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None,
+        return_marginals: bool = False,
+    ):
+        """log p(z, data) with a CHAIN of interacting discrete latents
+        summed out by the forward algorithm (sum-product over the pairwise
+        decomposition from ``_chain_tables``; validity is checked by
+        ``check_chain_factorization`` — higher-order interactions are not
+        representable and must fail that check).
+
+        With ``return_marginals`` also returns ``{name: [K] posterior
+        probs}`` per state from a forward-backward smoothing pass."""
+        given = dict(given or {})
+        ci = self.discrete_chain_info(params, given)
+        if ci is None:
+            raise ValueError(
+                "chain enumeration needs >=2 scalar discrete latents with "
+                "one shared cardinality"
+            )
+        names, k = ci
+        base, u, psi = self._chain_tables(params, z, given, names, k)
+        lse = jax.scipy.special.logsumexp
+
+        def fstep(alpha, xs):
+            psi_t, u_t = xs
+            alpha = lse(alpha[:, None] + psi_t, axis=0) + u_t
+            return alpha, alpha
+
+        alpha0 = u[0]
+        alpha_last, alphas = jax.lax.scan(fstep, alpha0, (psi, u[1:]))
+        total = base + lse(alpha_last)
+        if not return_marginals:
+            return total
+
+        def bstep(beta, xs):
+            psi_t, u_t = xs
+            beta = lse(psi_t + (u_t + beta)[None, :], axis=1)
+            return beta, beta
+
+        _, betas_rev = jax.lax.scan(
+            bstep, jnp.zeros((k,)), (psi[::-1], u[1:][::-1])
+        )
+        betas = jnp.concatenate([betas_rev[::-1], jnp.zeros((1, k))], axis=0)
+        log_alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+        marg = jax.nn.softmax(log_alphas + betas, axis=1)
+        return total, {n: marg[i] for i, n in enumerate(names)}
+
+    def check_chain_factorization(
+        self, params, given=None, atol=1e-3, trials=4
+    ) -> bool:
+        """Numerically verify the pairwise-chain decomposition: at random
+        joint assignments, lp(d) - base must equal sum_t U[t,d_t] +
+        sum_t Psi[t,d_t,d_{t+1}].  False when any factor couples
+        non-adjacent states (or three or more of them)."""
+        given = dict(given or {})
+        ci = self.discrete_chain_info(params, given)
+        if ci is None:
+            return False
+        names, k = ci
+        t_n = len(names)
+        rng = np.random.RandomState(0)
+        z = {
+            n: jnp.asarray(rng.normal(0, 0.7, s).astype(np.float32))
+            for n, s in self.z_shapes.items()
+        }
+        base, u, psi = self._chain_tables(params, z, given, names, k)
+        base_f, u_f, psi_f = float(base), np.asarray(u), np.asarray(psi)
+        lp = self._chain_lp_vec(params, z, given, names)
+        for _ in range(trials):
+            d = rng.randint(0, k, t_n)
+            pred = base_f + u_f[np.arange(t_n), d].sum() + psi_f[
+                np.arange(t_n - 1), d[:-1], d[1:]
+            ].sum()
+            actual = float(lp(jnp.asarray(d, jnp.int32)))
+            if abs(actual - pred) > atol * max(1.0, abs(actual)):
+                return False
+        return True
+
     def constrain(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
         values, _ = self._walk_z(self._as_store(params), z, given or {})
         return values

@@ -438,16 +438,28 @@ def sample(
         potential_fn, unravel, _ = make_potential(comp, params, given)
     if enumerate_discrete:
         # sum out Bernoulli/Categorical latents inside the potential —
-        # NUTS/HMC then runs on the marginalized continuous density
-        # (compiler.enumerated_log_density; factorization verified once)
-        if not comp.check_enum_factorization(params, given):
+        # NUTS/HMC then runs on the marginalized continuous density.
+        # Element-wise-independent latents use the logsumexp form
+        # (compiler.enumerated_log_density); interacting latents on a
+        # Markov chain (DSL HMMs) use the forward algorithm
+        # (compiler.chain_enumerated_log_density).  The applicable
+        # factorization is verified numerically once per sample() call.
+        if comp.check_enum_factorization(params, given):
+            def potential_fn(z_flat):
+                return -comp.enumerated_log_density(
+                    params, unravel(z_flat), given
+                )
+        elif comp.check_chain_factorization(params, given):
+            def potential_fn(z_flat):
+                return -comp.chain_enumerated_log_density(
+                    params, unravel(z_flat), given
+                )
+        else:
             raise ValueError(
-                "discrete latents do not factorize element-wise; "
-                "enumeration is not available for this model"
+                "discrete latents neither factorize element-wise nor form "
+                "a pairwise Markov chain; enumeration is not available "
+                "for this model"
             )
-
-        def potential_fn(z_flat):
-            return -comp.enumerated_log_density(params, unravel(z_flat), given)
 
         fused_potential = "off"
 

@@ -132,3 +132,82 @@ def test_enumerated_svi_mixture(key):
     mu_sorted = np.sort(np.asarray(zs["mu"]), axis=1).mean(0)
     assert abs(mu_sorted[0] + 2.0) < 0.3, mu_sorted
     assert abs(mu_sorted[1] - 2.0) < 0.3, mu_sorted
+
+
+# ---------------------------------------------------------------------------
+# Chain-structured (interacting) discrete latents: forward-algorithm
+# enumeration (ROADMAP r2 #7).  A DSL HMM: s_t | s_{t-1} ~ Cat(A[s_{t-1}]),
+# x_t ~ N(mu + 2*(2 s_t - 1), 0.6) with mu a continuous latent.
+# ---------------------------------------------------------------------------
+_A = np.asarray([[0.9, 0.1], [0.2, 0.8]], np.float32)
+
+
+def _chain_hmm_model(data):
+    t_n = data.shape[0]
+    a = jnp.asarray(_A)
+    mu = NormalVariable(0.0, 3.0, "mu")
+    s = CategoricalVariable(probs=jnp.asarray([0.5, 0.5]), name="s0")
+    states = [s]
+    for t in range(1, t_n):
+        s = CategoricalVariable(probs=BF.take(a, s, axis=0), name=f"s{t}")
+        states.append(s)
+    outs = []
+    for t, st in enumerate(states):
+        x = NormalVariable(2.0 * (2.0 * st - 1.0) + mu, 0.6, f"x{t}")
+        x.observe(jnp.asarray(data[t]))
+        outs.append(x)
+    return ProbabilisticModel(outs)
+
+
+def _make_chain_data(t_n=12, mu=0.5, seed=3):
+    rng = np.random.RandomState(seed)
+    s = rng.randint(0, 2)
+    xs, ss = [], []
+    for _ in range(t_n):
+        ss.append(s)
+        xs.append(mu + 2.0 * (2 * s - 1) + 0.6 * rng.normal())
+        s = rng.choice(2, p=_A[s])
+    return np.asarray(xs, np.float32), np.asarray(ss)
+
+
+def test_chain_factorization_detects_hmm():
+    data, _ = _make_chain_data(t_n=6)
+    comp = _chain_hmm_model(data).compiled()
+    p = comp.initial_params
+    assert not comp.check_enum_factorization(p)  # states interact
+    assert comp.check_chain_factorization(p)
+
+
+def test_chain_enumerated_matches_bruteforce():
+    import itertools
+
+    data, _ = _make_chain_data(t_n=6)
+    comp = _chain_hmm_model(data).compiled()
+    p = comp.initial_params
+    z = {"mu": jnp.asarray(1.3)}
+    got, marg = comp.chain_enumerated_log_density(p, z, return_marginals=True)
+    vals = {}
+    for assign in itertools.product([0, 1], repeat=6):
+        g = {f"s{t}": jnp.asarray(a, jnp.int32) for t, a in enumerate(assign)}
+        vals[assign] = float(comp.log_density_z(p, z, g))
+    lv = jnp.asarray(list(vals.values()))
+    expect = float(jax.scipy.special.logsumexp(lv))
+    assert abs(float(got) - expect) < 1e-3, (float(got), expect)
+    # smoothing marginals vs brute-force posterior marginals
+    w = np.exp(np.asarray(lv) - expect)
+    for t in range(6):
+        p1 = sum(wi for wi, a in zip(w, vals.keys()) if a[t] == 1)
+        assert abs(float(marg[f"s{t}"][1]) - p1) < 1e-3, (t, p1)
+
+
+def test_enumerated_nuts_chain_hmm(key):
+    """NUTS over the forward-algorithm-marginalized density recovers the
+    shared emission offset of a DSL HMM (interacting discrete latents —
+    the element-wise enumeration path must reject this model)."""
+    data, _ = _make_chain_data(t_n=12, mu=0.5, seed=3)
+    model = _chain_hmm_model(data)
+    res = sample(model, kernel=NUTS(max_depth=6), num_samples=200,
+                 num_warmup=200, num_chains=2, key=key,
+                 enumerate_discrete=True)
+    mu_hat = float(np.asarray(res.samples["mu"]).mean())
+    assert abs(mu_hat - 0.5) < 0.35, mu_hat
