@@ -79,11 +79,21 @@ class ReverseKL(InferenceMethod):
         latent_set = set(p_comp.latent_names)
         loaders = tuple(p_comp.data_loader_names)
         enum = self.enumerate_discrete
-        if enum and not p_comp.check_enum_factorization(p_comp.initial_params):
-            raise ValueError(
-                "discrete latents do not factorize element-wise; "
-                "enumeration is not available for this model"
-            )
+        enum_density = None
+        if enum:
+            # same dispatch as mcmc.sample(enumerate_discrete=True):
+            # element-wise logsumexp when latents are independent, the
+            # forward algorithm when they form a pairwise Markov chain
+            if p_comp.check_enum_factorization(p_comp.initial_params):
+                enum_density = p_comp.enumerated_log_density
+            elif p_comp.check_chain_factorization(p_comp.initial_params):
+                enum_density = p_comp.chain_enumerated_log_density
+            else:
+                raise ValueError(
+                    "discrete latents neither factorize element-wise nor "
+                    "form a pairwise Markov chain; enumeration is not "
+                    "available for this model"
+                )
 
         def loss_fn(opt_params, key, num_samples: int):
             p_params, q_params = opt_params["p"], opt_params["q"]
@@ -103,7 +113,7 @@ class ReverseKL(InferenceMethod):
                 )(latents)
             elif enum:
                 log_p = jax.vmap(
-                    lambda z: p_comp.enumerated_log_density(p_params, z, given_data)
+                    lambda z: enum_density(p_params, z, given_data)
                 )(values)
             else:
                 log_p = jax.vmap(

@@ -200,14 +200,46 @@ def test_chain_enumerated_matches_bruteforce():
         assert abs(float(marg[f"s{t}"][1]) - p1) < 1e-3, (t, p1)
 
 
+def _chain_posterior_quadrature(comp):
+    """Exact posterior mean/sd of the scalar mu by quadrature over the
+    chain-marginalized density (mu's unconstrained transform = identity)."""
+    p = comp.initial_params
+    grid = jnp.linspace(-3.0, 4.0, 2001)
+    lps = jax.vmap(
+        lambda g: comp.chain_enumerated_log_density(p, {"mu": g})
+    )(grid)
+    w = jnp.exp(lps - jax.scipy.special.logsumexp(lps))
+    mean = float(jnp.sum(w * grid))
+    sd = float(jnp.sqrt(jnp.sum(w * grid ** 2) - mean ** 2))
+    return mean, sd
+
+
 def test_enumerated_nuts_chain_hmm(key):
-    """NUTS over the forward-algorithm-marginalized density recovers the
-    shared emission offset of a DSL HMM (interacting discrete latents —
-    the element-wise enumeration path must reject this model)."""
+    """NUTS over the forward-algorithm-marginalized density matches the
+    quadrature-exact posterior of a DSL HMM (interacting discrete latents
+    — the element-wise enumeration path must reject this model)."""
     data, _ = _make_chain_data(t_n=12, mu=0.5, seed=3)
     model = _chain_hmm_model(data)
+    exact_mean, exact_sd = _chain_posterior_quadrature(model.compiled())
     res = sample(model, kernel=NUTS(max_depth=6), num_samples=200,
                  num_warmup=200, num_chains=2, key=key,
                  enumerate_discrete=True)
-    mu_hat = float(np.asarray(res.samples["mu"]).mean())
-    assert abs(mu_hat - 0.5) < 0.35, mu_hat
+    mu = np.asarray(res.samples["mu"])
+    assert abs(mu.mean() - exact_mean) < 0.4 * exact_sd, (mu.mean(), exact_mean)
+    assert abs(mu.std() - exact_sd) < 0.4 * exact_sd, (mu.std(), exact_sd)
+
+
+def test_chain_enumerated_svi(key):
+    """Mean-field SVI with chain enumeration lands near the exact
+    posterior of the DSL HMM's emission offset."""
+    data, _ = _make_chain_data(t_n=12, mu=0.5, seed=3)
+    model = _chain_hmm_model(data)
+    exact_mean, exact_sd = _chain_posterior_quadrature(model.compiled())
+    res = perform_inference(
+        model, number_iterations=800, number_samples=8, lr=0.05,
+        inference_method=ReverseKL(enumerate_discrete=True), key=key,
+    )
+    zs, _ = res.guide.sample_and_log_prob(res.params["q"],
+                                          jax.random.PRNGKey(1), 400)
+    mu_hat = float(np.asarray(zs["mu"]).mean())
+    assert abs(mu_hat - exact_mean) < 0.8 * exact_sd, (mu_hat, exact_mean)
