@@ -482,6 +482,33 @@ class EmissionHMM(Distribution):
         log_betas = jnp.concatenate([log_betas_rev[::-1], lb_last[None]], axis=0)
         return jax.nn.softmax(log_alphas + log_betas, axis=-1)
 
+    def viterbi(self, value, **params):
+        """MAP state path argmax_s log p(s, y) as int32[T]: max-product
+        forward recursion + backtrace, each one `lax.scan` (no Python
+        loop over time — compiles to a fixed-length program)."""
+        init_logits, trans_logits, em = self._split(params)
+        log_init = jax.nn.log_softmax(jnp.asarray(init_logits))
+        log_trans = jax.nn.log_softmax(jnp.asarray(trans_logits), axis=-1)
+        value = jnp.asarray(value)
+        emis = lambda y: self._emission_logp(y, em)
+
+        def fwd(delta, y):
+            scores = delta[:, None] + log_trans  # [K_prev, K_next]
+            best_prev = jnp.argmax(scores, axis=0)
+            delta = jnp.max(scores, axis=0) + emis(y)
+            return delta, best_prev
+
+        d0 = log_init + emis(value[0])
+        d_last, back = jax.lax.scan(fwd, d0, value[1:])
+        s_last = jnp.argmax(d_last)
+
+        def bwd(s, bp):
+            s_prev = bp[s]
+            return s_prev, s_prev
+
+        _, path_rev = jax.lax.scan(bwd, s_last, back[::-1])
+        return jnp.concatenate([path_rev[::-1], s_last[None]], axis=0)
+
 
 def EmissionHMMVariable(length, emission, init_logits, trans_logits,
                         name=None, **emission_params):

@@ -199,3 +199,37 @@ def test_emission_hmm_param_validation():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "rate" in str(e) and "wrong_name" in str(e)
+
+
+def test_viterbi_matches_bruteforce():
+    """Viterbi decode == brute-force argmax of the joint over all K^T
+    state paths (small T), and beats noisy observations on accuracy."""
+    from brancher_tpu.distributions import Normal
+    from brancher_tpu.stochastic_processes import EmissionHMM
+
+    ys, states = _gen(t=8, seed=2)
+    hmm = EmissionHMM(8, Normal())
+    p = _params()
+    em = dict(emission_loc=p["locs"], emission_scale=p["scales"])
+    path = np.asarray(hmm.viterbi(
+        ys, init_logits=p["init_logits"], trans_logits=p["trans_logits"], **em
+    ))
+
+    log_init = np.asarray(jax.nn.log_softmax(p["init_logits"]))
+    log_trans = np.asarray(jax.nn.log_softmax(p["trans_logits"], axis=-1))
+
+    def joint(ss):
+        lp = log_init[ss[0]]
+        for t in range(1, len(ss)):
+            lp += log_trans[ss[t - 1], ss[t]]
+        locs, scales = np.asarray(p["locs"]), np.asarray(p["scales"])
+        for t, s in enumerate(ss):
+            lp += float(
+                -0.5 * ((ys[t] - locs[s]) / scales[s]) ** 2
+                - np.log(scales[s]) - 0.5 * np.log(2 * np.pi)
+            )
+        return lp
+
+    best = max(itertools.product(range(2), repeat=8), key=joint)
+    assert path.tolist() == list(best), (path.tolist(), best)
+    assert (path == states).mean() >= 0.75
