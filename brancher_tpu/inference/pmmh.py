@@ -44,11 +44,19 @@ def pmmh_sample(
     init_proposal_scale: float = 0.1,
     target_accept: float = 0.234,
     ess_threshold: float = 0.5,
+    mesh=None,
+    chain_axis: str = "chain",
 ) -> PMMHResult:
     """make_ssm(theta [D]) -> StateSpace built from traced theta.
 
     theta0: [D] or [C, D] initial parameter points (chains jitter around
     a single point automatically).
+
+    mesh: shard the theta chains over ``chain_axis`` via shard_map — each
+    device runs its chains' particle filters locally (the particle axis
+    stays on-device, the natural PMMH layout) while the Robbins-Monro
+    proposal-scale adaptation reaches consensus with a pmean over the
+    chain axis (ROADMAP r2 #8).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -69,49 +77,79 @@ def pmmh_sample(
 
     loglik_batch = jax.vmap(loglik)
 
-    def step(carry, inp):
-        theta, ll, lp, log_scale = carry
-        k, t, warm = inp
-        k_prop, k_pf, k_acc = jax.random.split(jax.random.fold_in(k_run, t), 3)
-        scale = jnp.exp(log_scale)
-        prop = theta + scale[None, :] * jax.random.normal(
-            k_prop, theta.shape, theta.dtype
-        )
-        lp_new = jax.vmap(log_prior)(prop)
-        ll_new = loglik_batch(prop, jax.random.split(k_pf, theta.shape[0]))
-        log_ratio = (ll_new + lp_new) - (ll + lp)
-        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
-        accept = jnp.log(
-            jax.random.uniform(k_acc, (theta.shape[0],))
-        ) < log_ratio
-        theta = jnp.where(accept[:, None], prop, theta)
-        ll = jnp.where(accept, ll_new, ll)
-        lp = jnp.where(accept, lp_new, lp)
-        # Robbins-Monro scale adaptation during warmup only
-        acc_rate = jnp.mean(jnp.minimum(1.0, jnp.exp(log_ratio)))
-        log_scale = jnp.where(
-            warm, log_scale + 0.05 * (acc_rate - target_accept), log_scale
-        )
-        return (theta, ll, lp, log_scale), (theta, ll, accept)
-
     total = num_warmup + num_samples
     ll0 = loglik_batch(theta0, jax.random.split(jax.random.fold_in(k_run, total + 1),
                                                 theta0.shape[0]))
     lp0 = jax.vmap(log_prior)(theta0)
     ts = jnp.arange(total)
     warm_flags = ts < num_warmup
-    keys = jax.random.split(k_run, total)
 
-    @jax.jit
-    def run(theta0, ll0, lp0):
+    def _run(theta0, ll0, lp0, k_base, axis_name):
+        def step(carry, inp):
+            theta, ll, lp, log_scale = carry
+            t, warm = inp
+            k_prop, k_pf, k_acc = jax.random.split(
+                jax.random.fold_in(k_base, t), 3
+            )
+            scale = jnp.exp(log_scale)
+            prop = theta + scale[None, :] * jax.random.normal(
+                k_prop, theta.shape, theta.dtype
+            )
+            lp_new = jax.vmap(log_prior)(prop)
+            ll_new = loglik_batch(prop, jax.random.split(k_pf, theta.shape[0]))
+            log_ratio = (ll_new + lp_new) - (ll + lp)
+            log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+            accept = jnp.log(
+                jax.random.uniform(k_acc, (theta.shape[0],))
+            ) < log_ratio
+            theta = jnp.where(accept[:, None], prop, theta)
+            ll = jnp.where(accept, ll_new, ll)
+            lp = jnp.where(accept, lp_new, lp)
+            # Robbins-Monro scale adaptation during warmup only; sharded
+            # runs reach consensus on the GLOBAL accept rate over ICI
+            acc_rate = jnp.mean(jnp.minimum(1.0, jnp.exp(log_ratio)))
+            if axis_name is not None:
+                acc_rate = jax.lax.pmean(acc_rate, axis_name)
+            log_scale = jnp.where(
+                warm, log_scale + 0.05 * (acc_rate - target_accept), log_scale
+            )
+            return (theta, ll, lp, log_scale), (theta, ll, accept)
+
         carry0 = (theta0, ll0, lp0,
                   jnp.full((d,), jnp.log(init_proposal_scale), jnp.float32))
         (theta, ll, lp, log_scale), (thetas, lls, accepts) = jax.lax.scan(
-            step, carry0, (keys, ts, warm_flags)
+            step, carry0, (ts, warm_flags)
         )
         return thetas, lls, accepts, jnp.exp(log_scale)
 
-    thetas, lls, accepts, scale = run(theta0, ll0, lp0)
+    if mesh is None:
+        thetas, lls, accepts, scale = jax.jit(
+            lambda a, b, c: _run(a, b, c, k_run, None)
+        )(theta0, ll0, lp0)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape[chain_axis]
+        if theta0.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"num_chains={theta0.shape[0]} must divide over mesh axis "
+                f"{chain_axis!r} of size {n_dev}"
+            )
+
+        def body(th, l0, p0):
+            kb = jax.random.fold_in(k_run, jax.lax.axis_index(chain_axis))
+            return _run(th, l0, p0, kb, chain_axis)
+
+        thetas, lls, accepts, scale = jax.jit(
+            shard_map(
+                body, mesh=mesh,
+                in_specs=(P(chain_axis), P(chain_axis), P(chain_axis)),
+                out_specs=(P(None, chain_axis), P(None, chain_axis),
+                           P(None, chain_axis), P()),
+                check_vma=False,
+            )
+        )(theta0, ll0, lp0)
     thetas = jnp.swapaxes(thetas[num_warmup:], 0, 1)  # [C, S, D]
     lls = jnp.swapaxes(lls[num_warmup:], 0, 1)
     return PMMHResult(

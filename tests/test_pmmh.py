@@ -68,3 +68,32 @@ def test_pmmh_recovers_transition_coefficient(key):
         a_draws.mean(), mean_a, sd_a)
     # spread of the same order as the exact posterior sd
     assert 0.3 * sd_a < a_draws.std() < 3.5 * sd_a, (a_draws.std(), sd_a)
+
+
+def test_pmmh_sharded_chains(key):
+    """PMMH with theta chains sharded over the fake 8-device mesh: the
+    sharded program compiles, adapts via the pmean consensus, and lands
+    on the same (Kalman-exact) posterior as the single-device path."""
+    from brancher_tpu.parallel import chain_mesh
+
+    params = LGSSMParams(a=0.85)
+    _, ys = make_lgssm_data(length=60, params=params, seed=0)
+    mean_a, sd_a = _kalman_loglik_grid(ys)
+    res = pmmh_sample(
+        _make_ssm,
+        jnp.asarray(ys),
+        log_prior=lambda th: -0.5 * jnp.sum((th / 1.5) ** 2),
+        theta0=jnp.asarray([np.arctanh(0.7)], jnp.float32),
+        num_samples=300,
+        num_warmup=150,
+        num_particles=128,
+        num_chains=8,
+        key=key,
+        mesh=chain_mesh(),
+    )
+    a_draws = np.tanh(np.asarray(res.thetas)[..., 0].ravel())
+    assert res.thetas.shape == (8, 300, 1), res.thetas.shape
+    assert 0.05 < float(res.accept_rate) < 0.8, float(res.accept_rate)
+    assert abs(a_draws.mean() - mean_a) < 2.5 * sd_a, (
+        a_draws.mean(), mean_a, sd_a)
+    assert 0.3 * sd_a < a_draws.std() < 3.5 * sd_a, (a_draws.std(), sd_a)
