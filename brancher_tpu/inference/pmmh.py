@@ -57,6 +57,12 @@ def pmmh_sample(
     stays on-device, the natural PMMH layout) while the Robbins-Monro
     proposal-scale adaptation reaches consensus with a pmean over the
     chain axis (ROADMAP r2 #8).
+
+    Reproducibility note: sharded runs fold the device index into the run
+    key (device 0 uses fold_in(key, 0) != key), so the same `key` yields
+    DIFFERENT chains under mesh vs no-mesh and across mesh sizes —
+    statistically equivalent, not bitwise reproducible across mesh
+    configurations.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
