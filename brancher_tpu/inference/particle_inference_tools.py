@@ -11,11 +11,25 @@ descends W2(p, q).  Each iteration (one fused tensor program per step):
   1. draw M proposal points from a Gaussian mixture centred on the
      particles; self-normalized importance weights w_m ∝ p(x_m)/mix(x_m)
      turn them into (weighted) posterior samples;
-  2. assign each point to its LAGUERRE cell  argmin_i ||x−z_i||² − ψ_i
-     (``VoronoiSet`` with power weights) — the ψ are the semi-discrete
-     Kantorovich duals, ascended so every cell carries mass 1/P;
-  3. W2 gradient step: move each particle toward its cell's weighted
-     barycenter (Lloyd step of the quantization energy).
+  2. solve the semi-discrete OT problem between the weighted point cloud
+     and the equal-mass ensemble, by one of two modes (VERDICT r2 #5):
+     * ``method="sinkhorn"`` (default): log-domain Sinkhorn transport
+       plan T [M,P] with row marginals w and column marginals exactly
+       1/P.  The entropic scale eps_t = 0.25·mean nearest-particle cost
+       adapts as the ensemble contracts; the entropic bias blurs the
+       plan toward the independent coupling (bias → 0 as eps_t → 0, and
+       eps_t itself → 0 as particles converge onto the posterior — the
+       2-D correlated-posterior test bounds the residual effect on
+       ensemble moments at < 0.03 in variance).
+     * ``method="exact"``: Laguerre-cell dual ascent.  Each point joins
+       the cell  argmin_i ||x−z_i||² − ψ_i  (``VoronoiSet`` with power
+       weights); the ψ are the semi-discrete Kantorovich duals, ascended
+       with rate ``psi_lr`` until every cell carries mass 1/P, and
+       warm-started across iterations.  No entropic bias; the
+       assignment is the exact (unregularized) optimal transport map.
+  3. W2 gradient step: move each particle toward its cell's (or plan
+     column's) weighted barycenter — a Lloyd step of the quantization
+     energy.
 
 All of it is batched [M,P] tensor work: the cost matrix is one matmul,
 cell statistics are one-hot matmuls (MXU), no per-particle Python.
@@ -74,6 +88,52 @@ class VoronoiSet:
         return bary.T, mass
 
 
+def sinkhorn_plan(cost_mat: Array, log_w: Array, eps: Array, iters: int = 20) -> Array:
+    """Log-domain Sinkhorn transport plan T [M,P]: row marginals
+    exp(log_w) (the weighted point cloud), column marginals exactly 1/P
+    (the equal-weight ensemble), entropic scale ``eps``."""
+    m, p = cost_mat.shape
+    neg_c = -cost_mat / eps
+    log_col = jnp.full((p,), -jnp.log(float(p)))
+
+    def sink(_, lab):
+        log_a, log_b = lab
+        log_b = log_col - jax.nn.logsumexp(neg_c + log_a[:, None], axis=0)
+        log_a = log_w - jax.nn.logsumexp(neg_c + log_b[None, :], axis=1)
+        return (log_a, log_b)
+
+    log_a, log_b = jax.lax.fori_loop(
+        0, iters, sink, (jnp.zeros((m,)), jnp.zeros((p,)))
+    )
+    return jnp.exp(neg_c + log_a[:, None] + log_b[None, :])
+
+
+def dual_ascent_psi(cost_mat: Array, w: Array, psi0: Array,
+                    psi_lr: float = 1.0, iters: int = 40) -> Array:
+    """Ascend the semi-discrete Kantorovich duals ψ [P].
+
+    The concave dual is F(ψ) = Σ_i ψ_i/P + Σ_m w_m min_i (c_mi − ψ_i);
+    its supergradient is ∂F/∂ψ_i = 1/P − mass_i(ψ) where mass_i is the
+    weight landing in Laguerre cell i.  Steps decay 1/√k (the objective
+    is piecewise linear in ψ); the step scale is the mean nearest-cell
+    cost times P so the update is invariant to the problem's cost units.
+    Returns ψ centred to mean 0 (duals are defined up to a constant).
+    """
+    p = cost_mat.shape[1]
+    scale = jnp.mean(jnp.min(cost_mat, axis=1)) + 1e-8
+    target = 1.0 / float(p)
+
+    def body(k, psi):
+        idx = jnp.argmin(cost_mat - psi[None, :], axis=1)
+        onehot = jax.nn.one_hot(idx, p, dtype=w.dtype)
+        mass = w @ onehot
+        eta = psi_lr * scale * p / jnp.sqrt(1.0 + k)
+        return psi + eta * (target - mass)
+
+    psi = jax.lax.fori_loop(0, iters, body, psi0)
+    return psi - jnp.mean(psi)
+
+
 def _median_bandwidth(z: Array) -> Array:
     """Median-distance heuristic h = med^2 / log(P)."""
     p = z.shape[0]
@@ -108,15 +168,24 @@ def run_wvgd(
     number_samples: int = 512,
     proposal_scale: float = 1.0,
     psi_lr: float = 1.0,
+    method: str = "sinkhorn",
 ):
     """Wasserstein variational gradient descent (semi-discrete OT).
 
-    The particle ensemble minimizes W2(posterior, ensemble): Laguerre-cell
-    assignment with dual-potential ascent (cells carry equal mass) and a
-    Lloyd barycenter step per iteration.  Importance-weighted proposal
-    points (Gaussian mixture on the particles) stand in for posterior
-    samples; the weights are self-normalized, so only the unnormalized
-    log-density is needed.
+    The particle ensemble minimizes W2(posterior, ensemble) with a Lloyd
+    barycenter step per iteration.  Importance-weighted proposal points
+    (Gaussian mixture on the particles) stand in for posterior samples;
+    the weights are self-normalized, so only the unnormalized log-density
+    is needed.
+
+    method:
+      * "sinkhorn" (default) — entropic transport plan (sinkhorn_plan);
+        fast and smooth, with an entropic bias that vanishes as the
+        ensemble contracts (see module docstring).
+      * "exact" — Laguerre-cell dual ascent (dual_ascent_psi with rate
+        ``psi_lr``): the exact unregularized OT assignment; the duals ψ
+        warm-start across iterations.  ``psi_lr`` is ignored by
+        "sinkhorn".
     """
     from .svi import InferenceResult
 
@@ -139,12 +208,15 @@ def run_wvgd(
     m = number_samples
     sig = proposal_scale
 
+    if method not in ("sinkhorn", "exact"):
+        raise ValueError(f"unknown WVGD method {method!r}")
     sinkhorn_iters = 20
+    dual_iters = 40
 
     @jax.jit
     def run(z, key):
         def step(carry, kt):
-            z = carry
+            z, psi = carry
             k, t = kt
             # Robbins-Monro decay: the barycenter estimates are noisy;
             # decaying steps converge to the true W2 quantization
@@ -166,45 +238,36 @@ def run_wvgd(
             # -- self-normalized importance weights toward the posterior
             log_w = logp_batch(x) - log_mix
             w = jax.nn.softmax(log_w)
-            # -- semi-discrete OT via log-domain Sinkhorn: plan T [M,P]
-            # with row marginals w (posterior mass) and column marginals
-            # exactly 1/P (equal-weight ensemble).  The entropic scale
-            # follows the per-point nearest-particle cost, so it adapts
-            # as the ensemble contracts.
+            # -- semi-discrete OT between the weighted cloud (x, w) and
+            # the equal-mass ensemble z (column marginals exactly 1/P)
             cost_mat = (
                 jnp.sum(x * x, -1)[:, None] + jnp.sum(z * z, -1)[None, :]
                 - 2.0 * x @ z.T
             )  # [M, P]
-            eps_t = 0.25 * jnp.mean(jnp.min(cost_mat, axis=1)) + 1e-8
-            neg_c = -cost_mat / eps_t
-            log_wv = jnp.log(w + 1e-38)
-            log_col = jnp.full((p,), -jnp.log(float(p)))
-
-            def sink(_, lab):
-                log_a, log_b = lab
-                log_b = log_col - jax.nn.logsumexp(
-                    neg_c + log_a[:, None], axis=0
+            if method == "sinkhorn":
+                # entropic scale follows the per-point nearest-particle
+                # cost, so it adapts as the ensemble contracts
+                eps_t = 0.25 * jnp.mean(jnp.min(cost_mat, axis=1)) + 1e-8
+                t_plan = sinkhorn_plan(
+                    cost_mat, jnp.log(w + 1e-38), eps_t, sinkhorn_iters
                 )
-                log_a = log_wv - jax.nn.logsumexp(
-                    neg_c + log_b[None, :], axis=1
-                )
-                return (log_a, log_b)
-
-            log_a, log_b = jax.lax.fori_loop(
-                0, sinkhorn_iters, sink,
-                (jnp.zeros((m,)), jnp.zeros((p,))),
-            )
-            log_t = neg_c + log_a[:, None] + log_b[None, :]  # [M, P]
-            t_plan = jnp.exp(log_t)
-            col_mass = jnp.sum(t_plan, axis=0)  # ~1/P each
-            # -- W2 gradient step: particles toward their plan barycenters
-            bary = (t_plan.T @ x) / jnp.maximum(col_mass, 1e-12)[:, None]
+                col_mass = jnp.sum(t_plan, axis=0)  # ~1/P each
+                bary = (t_plan.T @ x) / jnp.maximum(col_mass, 1e-12)[:, None]
+                cost = jnp.sum(t_plan * cost_mat)  # entropic transport cost
+            else:
+                # exact mode: Kantorovich duals (warm-started across
+                # iterations) -> Laguerre cells -> cell barycenters
+                psi = dual_ascent_psi(cost_mat, w, psi, psi_lr, dual_iters)
+                cells = VoronoiSet(z, power=psi)
+                bary, _cell_mass = cells.cell_barycenters(x, w)
+                idx = cells.assign(x)
+                cost = jnp.sum(w * cost_mat[jnp.arange(m), idx])
+            # -- W2 gradient step: particles toward their barycenters
             z = z + lr_t * (bary - z)
-            cost = jnp.sum(t_plan * cost_mat)  # entropic transport cost
-            return z, cost
+            return (z, psi), cost
 
-        z, costs = jax.lax.scan(
-            step, z,
+        (z, _psi), costs = jax.lax.scan(
+            step, (z, jnp.zeros((p,), z.dtype)),
             (jax.random.split(key, number_iterations),
              jnp.arange(number_iterations, dtype=z.dtype)),
         )

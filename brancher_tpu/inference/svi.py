@@ -168,17 +168,20 @@ class MAP(InferenceMethod):
 class WassersteinVariationalGradientDescent(InferenceMethod):
     """Wasserstein VGD proper (reference's WVGD capability; SURVEY.md §2
     "Particle tools"): semi-discrete optimal-transport particle descent
-    of W2(posterior, ensemble) with Laguerre-cell dual ascent.  See
-    ``particle_inference_tools.run_wvgd`` for the algorithm."""
+    of W2(posterior, ensemble).  ``method="sinkhorn"`` (default) uses an
+    entropic transport plan; ``method="exact"`` uses Laguerre-cell dual
+    ascent with rate ``psi_lr``.  See ``particle_inference_tools.run_wvgd``
+    for the algorithm."""
 
     def __init__(self, number_particles: int = 50, number_samples: int = 512,
                  proposal_scale: float = 1.0, psi_lr: float = 1.0,
-                 step_size: float = 0.5):
+                 step_size: float = 0.5, method: str = "sinkhorn"):
         self.number_particles = number_particles
         self.number_samples = number_samples
         self.proposal_scale = proposal_scale
         self.psi_lr = psi_lr
         self.step_size = step_size
+        self.method = method
 
 
 class SteinVariationalGradientDescent(InferenceMethod):
@@ -258,6 +261,7 @@ def perform_inference(
             number_samples=inference_method.number_samples,
             proposal_scale=inference_method.proposal_scale,
             psi_lr=inference_method.psi_lr,
+            method=inference_method.method,
         )
     if isinstance(inference_method, SteinVariationalGradientDescent):
         from .particle_inference_tools import run_svgd

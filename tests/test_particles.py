@@ -53,7 +53,66 @@ def test_wvgd_and_svgd_are_distinct_paths():
     from brancher_tpu.inference import particle_inference_tools as pit
 
     assert pit.run_wvgd is not pit.run_svgd
-    assert "Laguerre" in pit.run_wvgd.__doc__ or "Lloyd" in pit.run_wvgd.__doc__
+
+
+def test_sinkhorn_plan_marginals(key):
+    """The entropic plan must carry row marginals w and column marginals
+    exactly 1/P (the algorithmic property the WVGD step relies on)."""
+    from brancher_tpu.inference.particle_inference_tools import sinkhorn_plan
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    m, p = 256, 16
+    x = jax.random.normal(k1, (m, 3))
+    z = jax.random.normal(k2, (p, 3))
+    cost = jnp.sum((x[:, None, :] - z[None, :, :]) ** 2, -1)
+    w = jax.nn.softmax(jax.random.normal(k3, (m,)))
+    plan = sinkhorn_plan(cost, jnp.log(w), eps=jnp.asarray(0.5), iters=60)
+    np.testing.assert_allclose(np.asarray(plan.sum(0)), np.full(p, 1.0 / p),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(plan.sum(1)), np.asarray(w),
+                               atol=5e-4)
+
+
+def test_dual_ascent_equalizes_laguerre_masses(key):
+    """Exact-OT mode: ascending the Kantorovich duals must drive every
+    Laguerre cell's mass to 1/P (VERDICT r2 weak #4 'done' criterion)."""
+    from brancher_tpu.inference.particle_inference_tools import (
+        VoronoiSet, dual_ascent_psi,
+    )
+
+    k1, k2 = jax.random.split(key)
+    m, p = 2048, 8
+    x = jax.random.normal(k1, (m, 2))
+    z = jax.random.normal(k2, (p, 2)) * 0.3  # clustered: plain Voronoi unequal
+    cost = jnp.sum((x[:, None, :] - z[None, :, :]) ** 2, -1)
+    w = jnp.full((m,), 1.0 / m)
+    mass0 = np.asarray(VoronoiSet(z).cell_masses(x, w))
+    psi = dual_ascent_psi(cost, w, jnp.zeros(p), psi_lr=1.0, iters=200)
+    mass = np.asarray(VoronoiSet(z, power=psi).cell_masses(x, w))
+    # duals are centred (gauge fixed)
+    assert abs(float(jnp.mean(psi))) < 1e-5
+    assert np.max(np.abs(mass - 1.0 / p)) < 0.35 * np.max(np.abs(mass0 - 1.0 / p))
+    assert np.max(np.abs(mass - 1.0 / p)) < 0.02
+
+
+def test_wvgd_exact_mode_matches_conjugate(key):
+    """The Laguerre dual-ascent mode (no entropic bias) recovers the
+    conjugate posterior's moments."""
+    from brancher_tpu.models.conjugate import conjugate_normal_model
+
+    model, truth = conjugate_normal_model(num_obs=20)
+    res = perform_inference(
+        model,
+        number_iterations=600,
+        inference_method=WassersteinVariationalGradientDescent(
+            number_particles=64, method="exact"),
+        lr=0.15,
+        key=key,
+    )
+    particles = np.asarray(res.extras["particles"]["mu"])
+    assert abs(particles.mean() - truth["post_mean"]) < 0.1
+    assert abs(particles.var() - truth["post_var"]) < 0.04
+    assert res.loss_curve[-1] < res.loss_curve[0]
 
 
 def test_wvgd_2d_correlated_posterior(key):
