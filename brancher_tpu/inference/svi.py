@@ -82,18 +82,10 @@ class ReverseKL(InferenceMethod):
         enum_density = None
         if enum:
             # same dispatch as mcmc.sample(enumerate_discrete=True):
-            # element-wise logsumexp when latents are independent, the
-            # forward algorithm when they form a pairwise Markov chain
-            if p_comp.check_enum_factorization(p_comp.initial_params):
-                enum_density = p_comp.enumerated_log_density
-            elif p_comp.check_chain_factorization(p_comp.initial_params):
-                enum_density = p_comp.chain_enumerated_log_density
-            else:
-                raise ValueError(
-                    "discrete latents neither factorize element-wise nor "
-                    "form a pairwise Markov chain; enumeration is not "
-                    "available for this model"
-                )
+            # element-wise logsumexp / structural-chain forward algorithm
+            # / general variable elimination (compiler.enum_log_density_fn
+            # caches the verdict per compiled model)
+            enum_density = p_comp.enum_log_density_fn(p_comp.initial_params)
 
         def loss_fn(opt_params, key, num_samples: int):
             p_params, q_params = opt_params["p"], opt_params["q"]
