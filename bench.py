@@ -16,6 +16,13 @@ and prints the primary JSON line IMMEDIATELY after the first engine that
 succeeds — before any secondary metric — so a late hang can never destroy
 the result.  Diagnostics (ESS) run on host numpy (not XLA) since round 2.
 
+Round 3 additions (VERDICT r2 #1/#2): the VAE secondary child retries
+once on timeout (the remote compile service finishes compiles whose
+client was killed); an UNSATURATED companion measurement (hierarchical
+ARD logreg, min-ESS genuinely below the chains*draws cap) runs last; and
+an enriched copy of the primary JSON line — same headline numbers plus
+elbo_steps_per_sec / unsat_* keys — prints at the end.
+
 vs_baseline: the oracle is charged for the same leapfrog trajectory the
 sampler actually executed (chains batched into one eager matmul per step,
 which flatters the baseline), credited with the same ESS.
@@ -31,6 +38,17 @@ import time
 N_POINTS, DIM = 1000, 32
 CHAINS, WARMUP, DRAWS = 1024, 500, 1000
 MAX_DEPTH = 8
+
+# Unsaturated companion config (VERDICT r2 #2): hierarchical ARD logreg
+# (w_j ~ N(0, tau_j), tau_j lognormal) with WEAK data — genuinely
+# autocorrelated NUTS draws (min-ESS ≈ 0.5 × chains*draws measured on
+# CPU prototypes, scripts/exp_unsat_config.py), so the metric can
+# register sampler-efficiency progress that the saturated headline is
+# blind to.  Plain logreg at the headline shape is simply too easy:
+# every tested variant (collinear designs to rho=0.9999, scale spreads,
+# N=1000 hierarchies) still decorrelated fully within depth-8 trees.
+UNSAT_N, UNSAT_TAU_SD, UNSAT_TARGET_ACCEPT = 100, 0.75, 0.9
+WARM_MARKER = "/root/repo/.jax_cache/bench_warm_marker"
 
 
 def log(*a):
@@ -94,6 +112,62 @@ def child(engine: str) -> None:
         "sampler_seconds": t_sampler,
         "first_seconds": t_first,
         # chain-steps: every chain is charged each shared loop iteration
+        "total_chain_steps_draws": int(res.diagnostics["total_leapfrog_steps"]),
+        "warmup_steps_per_chain": float(res.diagnostics.get("warmup_leapfrog", 0)),
+        "divergences": int(res.diagnostics["num_divergences"]),
+        "accept": float(res.diagnostics["mean_accept_prob"]),
+    }
+    print(json.dumps(out), flush=True)
+
+
+def child_unsat() -> None:
+    """Unsaturated companion measurement: hierarchical ARD logreg at the
+    same 1024x1000 chain/draw shape.  min-ESS genuinely < the
+    chains*draws cap here, so round-over-round sampler-efficiency
+    progress is measurable (VERDICT r2 #2)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import brancher_tpu.functions as BF
+    from brancher_tpu import (
+        BernoulliVariable, LogNormalVariable, NormalVariable,
+        ProbabilisticModel,
+    )
+    from brancher_tpu.models.logistic_regression import make_logreg_data
+    from brancher_tpu.inference import sample, NUTS
+
+    x, y, _ = make_logreg_data(num_points=UNSAT_N, dim=DIM, seed=0)
+    tau = LogNormalVariable(jnp.zeros(DIM), UNSAT_TAU_SD * jnp.ones(DIM), "tau")
+    w = NormalVariable(jnp.zeros(DIM), tau, "w")
+    yv = BernoulliVariable(logits=BF.matmul(jnp.asarray(x), w), name="y")
+    yv.observe(jnp.asarray(y))
+    model = ProbabilisticModel([yv])
+
+    kwargs = dict(
+        kernel=NUTS(max_depth=MAX_DEPTH), num_samples=DRAWS,
+        num_warmup=WARMUP, num_chains=CHAINS, key=jax.random.PRNGKey(0),
+        chain_method="vectorized", target_accept=UNSAT_TARGET_ACCEPT,
+    )
+    log(f"[child unsat] backend: {jax.devices()[0]}")
+    t0 = time.time()
+    res = sample(model, **kwargs)
+    t_first = time.time() - t0
+    log(f"[child unsat] first sample() (compile+run): {t_first:.1f}s")
+    res = sample(model, **kwargs)
+    t_sampler = float(res.diagnostics["sampler_seconds"])
+    ess = np.concatenate([
+        np.ravel(np.asarray(res.diagnostics["ess"][n])) for n in ("w", "tau")
+    ])
+    out = {
+        "engine": "nuts_unsat",
+        "min_ess": float(np.min(ess)),
+        "ess_cap": float(CHAINS * DRAWS),
+        "sampler_seconds": t_sampler,
+        "first_seconds": t_first,
         "total_chain_steps_draws": int(res.diagnostics["total_leapfrog_steps"]),
         "warmup_steps_per_chain": float(res.diagnostics.get("warmup_leapfrog", 0)),
         "divergences": int(res.diagnostics["num_divergences"]),
@@ -186,6 +260,51 @@ def torch_leapfrog_oracle_step_seconds() -> float:
     return (time.time() - t0) / n_timed
 
 
+def _mark_warm() -> None:
+    try:
+        os.makedirs(os.path.dirname(WARM_MARKER), exist_ok=True)
+        with open(WARM_MARKER, "w") as f:
+            f.write(str(time.time()))
+    except OSError:
+        pass
+
+
+def torch_ard_oracle_step_seconds() -> float:
+    """Eager PyTorch CPU: seconds per chains-batched leapfrog step on the
+    UNSAT config's hierarchical ARD logreg potential (w, log-tau)."""
+    import numpy as np
+    import torch
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(0, 1, size=(UNSAT_N, DIM)).astype(np.float32)
+    y = (rng.uniform(size=UNSAT_N) < 0.5).astype(np.float32)
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    theta = torch.zeros((CHAINS, 2 * DIM), requires_grad=True)
+
+    def neg_log_post(th):
+        w, v = th[:, :DIM], th[:, DIM:]  # v = log tau
+        logits = w @ xt.T
+        ll = yt * torch.nn.functional.logsigmoid(logits) + (
+            1 - yt
+        ) * torch.nn.functional.logsigmoid(-logits)
+        lp_w = -0.5 * ((w * torch.exp(-v)) ** 2).sum(-1) - v.sum(-1)
+        lp_v = -0.5 * ((v / UNSAT_TAU_SD) ** 2).sum(-1)
+        return -(ll.sum(-1) + lp_w + lp_v).sum()
+
+    r = torch.randn(CHAINS, 2 * DIM)
+    for _ in range(3):
+        (g,) = torch.autograd.grad(neg_log_post(theta), theta)
+    n_timed = 30
+    t0 = time.time()
+    for _ in range(n_timed):
+        (g,) = torch.autograd.grad(neg_log_post(theta), theta)
+        with torch.no_grad():
+            r = r - 0.5 * 0.01 * g
+            tnew = theta + 0.01 * r
+        theta = tnew.detach().requires_grad_(True)
+    return (time.time() - t0) / n_timed
+
+
 def torch_vae_oracle_steps_per_sec() -> float:
     import numpy as np
     import torch
@@ -232,24 +351,29 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         if sys.argv[2] == "vae":
             child_vae()
+        elif sys.argv[2] == "unsat":
+            child_unsat()
         else:
             child(sys.argv[2])
         return
 
     t_start = time.time()
-    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 520))
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 560))
 
     # -- 1. reference-frame oracle (fast, CPU-only) ---------------------
     t_torch_step = torch_leapfrog_oracle_step_seconds()
     log(f"torch eager CPU: {t_torch_step*1e3:.2f} ms / batched leapfrog step")
 
     # -- 2. headline engine: NUTS, with ChEES-HMC as fallback -----------
-    # budget adaptively: with a warm compilation cache the NUTS child
-    # finishes in well under 2 min, leaving room for a fallback; fully
-    # cold (local AND remote caches empty) the compile alone can take
-    # 250-400 s, so spend nearly the whole budget on the one attempt
+    # budget adaptively: caching lives in the REMOTE compile service
+    # (cross-process), so a marker dropped after any successful child run
+    # means the service has these programs hot; fully cold the compile
+    # alone can take 250-400 s, so spend nearly the whole budget on the
+    # one attempt
     cache = "/root/repo/.jax_cache"
-    cache_warm = os.path.isdir(cache) and len(os.listdir(cache)) >= 3
+    cache_warm = os.path.exists(WARM_MARKER) or (
+        os.path.isdir(cache) and len(os.listdir(cache)) >= 3
+    )
     log(f"compilation cache: {'warm' if cache_warm else 'cold'}")
     remaining = total_budget - (time.time() - t_start)
     nuts_budget = float(os.environ.get(
@@ -267,6 +391,7 @@ def main() -> None:
             "value": 0.0, "unit": "ess/sec", "vs_baseline": 0.0,
         }))
         return
+    _mark_warm()
 
     ess_per_sec = r["min_ess"] / r["sampler_seconds"]
 
@@ -278,20 +403,20 @@ def main() -> None:
     vs_baseline = ess_per_sec / (r["min_ess"] / baseline_time)
 
     label = "NUTS" if r["engine"] == "nuts" else "ChEES-HMC"
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{label} min-ESS/sec/chip, Bayesian logreg "
-                    f"N={N_POINTS} d={DIM}, {CHAINS} chains x {DRAWS} draws"
-                ),
-                "value": round(ess_per_sec, 2),
-                "unit": "ess/sec",
-                "vs_baseline": round(vs_baseline, 2),
-            }
+    primary = {
+        "metric": (
+            f"{label} min-ESS/sec/chip, Bayesian logreg "
+            f"N={N_POINTS} d={DIM}, {CHAINS} chains x {DRAWS} draws"
         ),
-        flush=True,
-    )
+        "value": round(ess_per_sec, 2),
+        "unit": "ess/sec",
+        "vs_baseline": round(vs_baseline, 2),
+    }
+    # hang-safety: the primary line prints IMMEDIATELY; an enriched copy
+    # (same schema + secondary-metric keys) prints at the very end, so a
+    # parser taking either the first or the last JSON line gets the same
+    # headline numbers
+    print(json.dumps(primary), flush=True)
 
     # -- 3. post-hoc detail (stderr only, never blocks the JSON) --------
     saturated = r["min_ess"] >= r["ess_cap"] - 0.5
@@ -303,8 +428,6 @@ def main() -> None:
     )
     # FLOP accounting for the fused potential: per chain-leapfrog-step the
     # value+grad kernel does 2 matmuls -> 4*N*d FLOPs (+O(N) elementwise)
-    flops = total_chain_steps * (4.0 * N_POINTS * DIM + 12.0 * N_POINTS)
-    # charge only the draws portion actually timed in sampler_seconds
     flops_draws = r["total_chain_steps_draws"] * (
         4.0 * N_POINTS * DIM + 12.0 * N_POINTS
     )
@@ -317,18 +440,59 @@ def main() -> None:
     )
 
     # -- 4. secondary metric: VAE amortized-SVI ELBO steps/sec ----------
+    # one RETRY on timeout: the remote compile service finishes compiles
+    # whose client was killed, so a second attempt right after a timeout
+    # usually succeeds (measured behavior, CLAUDE.md)
+    rv = None
     remaining = total_budget - (time.time() - t_start)
     if remaining > 70:
-        rv = run_child(["--child", "vae"], min(remaining - 10, 240))
-        if rv is not None:
-            torch_sps = torch_vae_oracle_steps_per_sec()
-            log(
-                f"secondary: VAE ELBO steps/sec = {rv['elbo_steps_per_sec']:.0f} "
-                f"(B=256, obs=64, latent=8, S=4); torch-eager-CPU oracle = "
-                f"{torch_sps:.0f} -> {rv['elbo_steps_per_sec']/torch_sps:.1f}x"
-            )
+        rv = run_child(["--child", "vae"], min(remaining - 60, 200))
+        if rv is None:
+            remaining = total_budget - (time.time() - t_start)
+            if remaining > 50:
+                log("[parent] retrying vae child (remote compile should be hot)")
+                rv = run_child(["--child", "vae"], max(min(remaining - 30, 150), 40))
+    if rv is not None:
+        torch_sps = torch_vae_oracle_steps_per_sec()
+        log(
+            f"secondary: VAE ELBO steps/sec = {rv['elbo_steps_per_sec']:.0f} "
+            f"(B=256, obs=64, latent=8, S=4); torch-eager-CPU oracle = "
+            f"{torch_sps:.0f} -> {rv['elbo_steps_per_sec']/torch_sps:.1f}x"
+        )
+        primary["elbo_steps_per_sec"] = round(rv["elbo_steps_per_sec"], 1)
+        primary["elbo_vs_baseline"] = round(rv["elbo_steps_per_sec"] / torch_sps, 2)
     else:
-        log(f"secondary: skipped ({remaining:.0f}s left of budget)")
+        log("secondary: VAE child did not finish within budget")
+
+    # -- 5. unsaturated companion (VERDICT r2 #2): ARD logreg -----------
+    remaining = total_budget - (time.time() - t_start)
+    ru = None
+    if remaining > 90:
+        ru = run_child(["--child", "unsat"], remaining - 10)
+    if ru is not None:
+        unsat_eps = ru["min_ess"] / ru["sampler_seconds"]
+        t_torch_unsat = torch_ard_oracle_step_seconds()
+        base_t = (ru["total_chain_steps_draws"] / CHAINS +
+                  ru["warmup_steps_per_chain"]) * t_torch_unsat
+        unsat_vs = unsat_eps / (ru["min_ess"] / max(base_t, 1e-9))
+        log(
+            f"unsaturated: ARD logreg N={UNSAT_N} d={DIM} (w,tau; funnel-like), "
+            f"min_ess={ru['min_ess']:.0f} of cap {ru['ess_cap']:.0f} "
+            f"({100*ru['min_ess']/ru['ess_cap']:.0f}% — UNSATURATED) "
+            f"sampler={ru['sampler_seconds']:.2f}s -> {unsat_eps:.0f} ess/sec "
+            f"({unsat_vs:.0f}x torch-eager oracle); accept={ru['accept']:.2f} "
+            f"divergences={ru['divergences']}"
+        )
+        primary["unsat_min_ess"] = round(ru["min_ess"], 1)
+        primary["unsat_ess_cap"] = ru["ess_cap"]
+        primary["unsat_ess_per_sec"] = round(unsat_eps, 1)
+    else:
+        log(f"unsaturated companion: skipped "
+            f"({'no budget' if ru is None else 'failed'})")
+
+    # -- 6. enriched final JSON (same headline, extra keys) -------------
+    if len(primary) > 4:
+        print(json.dumps(primary), flush=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ from .nuts import NUTS, nuts_sample
 from .mcmc import sample, MCMCResult
 from .chees import ChEESHMC, chees_hmc
 from .smc import smc_sample, SMCResult
+from .streaming_smc import (
+    StreamingSMC,
+    StreamingResult,
+    streaming_particle_filter,
+)
 from .tempered_smc import smc_posterior_sample, tempered_smc, TemperedSMCResult
 from .diagnostics import (
     effective_sample_size,

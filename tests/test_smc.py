@@ -138,3 +138,66 @@ def test_ppermute_exchange_matches_gather_path(key):
         np.asarray(res_ring.filter_means),
         np.asarray(res_gather.filter_means), atol=0.12,
     )
+
+
+def test_streaming_filter_matches_batch_and_kalman(key):
+    """Streaming chunked filter vs batch filter vs exact Kalman on the
+    LGSSM: filter means within MC error, log-marginal agrees, and
+    fixed-lag smoothing beats filtering against the true latent path."""
+    from brancher_tpu.inference.streaming_smc import streaming_particle_filter
+
+    params = LGSSMParams()
+    xs_true, ys = make_lgssm_data(length=300, params=params, seed=0)
+    ssm = lgssm_state_space(params)
+    kf_logml, kf_means, _ = kalman_filter(ys, params)
+
+    res = streaming_particle_filter(
+        ssm, np.asarray(ys), num_particles=2048, key=key, lag=16,
+        chunk_size=64,
+    )
+    fm = np.asarray(res.filter_means).ravel()
+    assert np.abs(fm - np.asarray(kf_means).ravel()).max() < 0.15
+    assert abs(float(res.log_marginal) - float(kf_logml)) < 2.0
+    sm = np.asarray(res.smoothed_means).ravel()
+    assert np.isfinite(sm).all()
+    xt = np.asarray(xs_true).ravel()
+    rmse_f = float(np.sqrt(((fm - xt) ** 2).mean()))
+    rmse_s = float(np.sqrt(((sm - xt) ** 2).mean()))
+    assert rmse_s < rmse_f  # lag-16 smoothing strictly improves
+
+
+def test_streaming_filter_1e5_constant_memory(key):
+    """T=100k streaming run: device-side carry stays O(lag * particles)
+    (VERDICT r2 missing #5 'done' criterion), and the means match the
+    batch filter over the first 2000 steps within MC error."""
+    from brancher_tpu.inference.smc import smc_sample
+    from brancher_tpu.inference.streaming_smc import StreamingSMC
+
+    t_len, prefix = 100_000, 2000
+    params = LGSSMParams()
+    _, ys = make_lgssm_data(length=t_len, params=params, seed=1)
+    ys = np.asarray(ys)
+    ssm = lgssm_state_space(params)
+
+    p, lag, chunk = 256, 8, 1000
+    f = StreamingSMC(ssm, num_particles=p, lag=lag, chunk_size=chunk)
+    state, (mean0, _e0) = f.init(ys[0], key)
+    means = [np.asarray(mean0)[None]]
+    pos = 1
+    while pos < t_len:
+        state, (m, _sm, _smt, _e) = f.process(state, ys[pos : pos + chunk])
+        # constant memory: the carry never grows with T
+        assert state.lag_buf.shape == (lag, p)
+        assert state.x.shape == (p,) and state.lw.shape == (p,)
+        means.append(np.asarray(m))
+        pos += m.shape[0]
+    means = np.concatenate(means)
+    assert means.shape[0] == t_len
+    assert int(state.t) == t_len
+    assert np.isfinite(float(state.log_ml))
+
+    _, kf_means, _ = kalman_filter(ys[:prefix], params)
+    diff = np.abs(means[:prefix].ravel() - np.asarray(kf_means).ravel())
+    # P=256 MC bands: tight on average, spiky in the extreme
+    assert diff.mean() < 0.06, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.3, np.quantile(diff, 0.99)
