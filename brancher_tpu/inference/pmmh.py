@@ -46,23 +46,35 @@ def pmmh_sample(
     ess_threshold: float = 0.5,
     mesh=None,
     chain_axis: str = "chain",
+    shard: str = "chain",
+    particle_axis: str = "particle",
 ) -> PMMHResult:
     """make_ssm(theta [D]) -> StateSpace built from traced theta.
 
     theta0: [D] or [C, D] initial parameter points (chains jitter around
     a single point automatically).
 
-    mesh: shard the theta chains over ``chain_axis`` via shard_map — each
-    device runs its chains' particle filters locally (the particle axis
-    stays on-device, the natural PMMH layout) while the Robbins-Monro
-    proposal-scale adaptation reaches consensus with a pmean over the
-    chain axis (ROADMAP r2 #8).
+    mesh + shard="chain" (default): shard the theta chains over
+    ``chain_axis`` via shard_map — each device runs its chains' particle
+    filters locally (the particle axis stays on-device, the natural PMMH
+    layout) while the Robbins-Monro proposal-scale adaptation reaches
+    consensus with a pmean over the chain axis (ROADMAP r2 #8).
 
-    Reproducibility note: sharded runs fold the device index into the run
-    key (device 0 uses fold_in(key, 0) != key), so the same `key` yields
-    DIFFERENT chains under mesh vs no-mesh and across mesh sizes —
-    statistically equivalent, not bitwise reproducible across mesh
-    configurations.
+    mesh + shard="particle" (ROADMAP #7): when P per chain exceeds one
+    device, each chain's ``num_particles`` split into per-device ISLAND
+    filters (Vergé et al. 2015); the chain's likelihood estimate is the
+    log-mean-exp of the per-island unbiased estimates — itself unbiased,
+    so the pseudo-marginal argument is untouched.  Theta chains are
+    REPLICATED across devices; the only collectives are an O(1)
+    pmax/psum per filter to combine island estimates, so accept
+    decisions are bitwise identical on every device.  Particle state
+    never crosses ICI.
+
+    Reproducibility note: sharded runs fold the device index into the
+    run key (shard="chain") or the filter keys (shard="particle"), so
+    the same `key` yields DIFFERENT chains under mesh vs no-mesh and
+    across mesh sizes — statistically equivalent, not bitwise
+    reproducible across mesh configurations.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -75,22 +87,24 @@ def pmmh_sample(
             k_init, (num_chains, d)
         )
 
-    def loglik(theta, k):
-        res = particle_filter(
-            make_ssm(theta), ys, num_particles, k, ess_threshold=ess_threshold
-        )
-        return res.log_marginal
+    def _make_loglik_batch(n_particles, key_tweak=None):
+        def loglik(theta, k):
+            if key_tweak is not None:
+                k = key_tweak(k)
+            res = particle_filter(
+                make_ssm(theta), ys, n_particles, k,
+                ess_threshold=ess_threshold,
+            )
+            return res.log_marginal
 
-    loglik_batch = jax.vmap(loglik)
+        return jax.vmap(loglik)
 
     total = num_warmup + num_samples
-    ll0 = loglik_batch(theta0, jax.random.split(jax.random.fold_in(k_run, total + 1),
-                                                theta0.shape[0]))
-    lp0 = jax.vmap(log_prior)(theta0)
     ts = jnp.arange(total)
     warm_flags = ts < num_warmup
+    k_ll0 = jax.random.fold_in(k_run, total + 1)
 
-    def _run(theta0, ll0, lp0, k_base, axis_name):
+    def _run(theta0, ll0, lp0, k_base, axis_name, loglik_batch):
         def step(carry, inp):
             theta, ll, lp, log_scale = carry
             t, warm = inp
@@ -128,14 +142,22 @@ def pmmh_sample(
         )
         return thetas, lls, accepts, jnp.exp(log_scale)
 
+    if mesh is not None and shard not in ("chain", "particle"):
+        raise ValueError(f"unknown shard mode {shard!r}")
     if mesh is None:
+        loglik_batch = _make_loglik_batch(num_particles)
+        ll0 = loglik_batch(theta0, jax.random.split(k_ll0, theta0.shape[0]))
+        lp0 = jax.vmap(log_prior)(theta0)
         thetas, lls, accepts, scale = jax.jit(
-            lambda a, b, c: _run(a, b, c, k_run, None)
+            lambda a, b, c: _run(a, b, c, k_run, None, loglik_batch)
         )(theta0, ll0, lp0)
-    else:
+    elif shard == "chain":
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        loglik_batch = _make_loglik_batch(num_particles)
+        ll0 = loglik_batch(theta0, jax.random.split(k_ll0, theta0.shape[0]))
+        lp0 = jax.vmap(log_prior)(theta0)
         n_dev = mesh.shape[chain_axis]
         if theta0.shape[0] % n_dev != 0:
             raise ValueError(
@@ -145,7 +167,7 @@ def pmmh_sample(
 
         def body(th, l0, p0):
             kb = jax.random.fold_in(k_run, jax.lax.axis_index(chain_axis))
-            return _run(th, l0, p0, kb, chain_axis)
+            return _run(th, l0, p0, kb, chain_axis, loglik_batch)
 
         thetas, lls, accepts, scale = jax.jit(
             shard_map(
@@ -156,6 +178,44 @@ def pmmh_sample(
                 check_vma=False,
             )
         )(theta0, ll0, lp0)
+    else:  # shard == "particle": island filters per device (ROADMAP #7)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape[particle_axis]
+        if num_particles % n_dev != 0:
+            raise ValueError(
+                f"num_particles={num_particles} must divide over mesh axis "
+                f"{particle_axis!r} of size {n_dev}"
+            )
+        local_p = num_particles // n_dev
+
+        def body(th):
+            my = jax.lax.axis_index(particle_axis)
+            # per-device particle keys; everything else replicated so the
+            # accept decisions agree bitwise across devices
+            local = _make_loglik_batch(
+                local_p, key_tweak=lambda k: jax.random.fold_in(k, my)
+            )
+
+            def combined(thetas_c, keys_c):
+                lml = local(thetas_c, keys_c)  # [C] island estimates
+                m = jax.lax.pmax(lml, particle_axis)
+                s = jax.lax.psum(jnp.exp(lml - m), particle_axis)
+                return m + jnp.log(s / n_dev)  # unbiased island average
+
+            ll0 = combined(th, jax.random.split(k_ll0, th.shape[0]))
+            lp0 = jax.vmap(log_prior)(th)
+            return _run(th, ll0, lp0, k_run, None, combined)
+
+        thetas, lls, accepts, scale = jax.jit(
+            shard_map(
+                body, mesh=mesh,
+                in_specs=(P(),),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+        )(theta0)
     thetas = jnp.swapaxes(thetas[num_warmup:], 0, 1)  # [C, S, D]
     lls = jnp.swapaxes(lls[num_warmup:], 0, 1)
     return PMMHResult(
