@@ -3,25 +3,29 @@ regression (BASELINE.json metric: "effective samples/sec/chip (NUTS)").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Structure (round 2, after the r1 driver timeout — VERDICT r1 "Next round"
-item 1): the parent process never touches JAX.  It measures the PyTorch
-eager-CPU oracle first (the reference's execution substrate, SURVEY.md
-§0/§6; the reference publishes no numbers so the baseline is MEASURED),
-then runs each TPU engine in a SUBPROCESS with a hard timeout:
+Structure (round 3): the parent process never touches JAX.  It measures
+the PyTorch eager-CPU oracle first (the reference's execution substrate,
+SURVEY.md §0/§6; the reference publishes no numbers so the baseline is
+MEASURED), then launches ALL TPU measurement children CONCURRENTLY:
 
-  1. vectorized NUTS + fused XLA potential (adaptive budget)
-  2. fallback: ChEES-HMC, same potential
+  1. "nuts"  — vectorized NUTS + fused XLA potential (the headline)
+  2. "vae"   — amortized-SVI ELBO steps/sec (VERDICT r2 #1)
+  3. "unsat" — hierarchical ARD logreg whose min-ESS sits genuinely
+               below the chains*draws cap (VERDICT r2 #2)
+  4. "chees" — a small-program headline RACER, launched only if NUTS is
+               still compiling near the deadline
 
-and prints the primary JSON line IMMEDIATELY after the first engine that
-succeeds — before any secondary metric — so a late hang can never destroy
-the result.  Diagnostics (ESS) run on host numpy (not XLA) since round 2.
-
-Round 3 additions (VERDICT r2 #1/#2): the VAE secondary child retries
-once on timeout (the remote compile service finishes compiles whose
-client was killed); an UNSATURATED companion measurement (hierarchical
-ARD logreg, min-ESS genuinely below the chains*draws cap) runs last; and
-an enriched copy of the primary JSON line — same headline numbers plus
-elbo_steps_per_sec / unsat_* keys — prints at the end.
+Children spend ~95% of their wall time waiting on the remote compile
+service with the chip idle, and the service handles concurrent compile
+jobs without slowdown (measured — see Child docstring), so concurrency
+turns sum-of-compiles (~20 min cold) into max-of-compiles.  The primary
+JSON line prints IMMEDIATELY when the first headline engine lands —
+before any secondary metric — so a late hang can never destroy the
+result; an enriched copy (same headline numbers plus elbo_steps_per_sec
+/ unsat_* keys) prints at the very end.  Diagnostics (ESS) run on host
+numpy (not XLA) since round 2.  Every timed measurement is the best of
+3 executions of one device-atomic XLA program, so concurrent children
+cannot inflate each other's numbers via queueing delay.
 
 vs_baseline: the oracle is charged for the same leapfrog trajectory the
 sampler actually executed (chains batched into one eager matmul per step,
@@ -48,7 +52,6 @@ MAX_DEPTH = 8
 # every tested variant (collinear designs to rho=0.9999, scale spreads,
 # N=1000 hierarchies) still decorrelated fully within depth-8 trees.
 UNSAT_N, UNSAT_TAU_SD, UNSAT_TARGET_ACCEPT = 100, 0.75, 0.9
-WARM_MARKER = "/root/repo/.jax_cache/bench_warm_marker"
 
 
 def log(*a):
@@ -100,9 +103,13 @@ def child(engine: str) -> None:
     t_first = time.time() - t0
     log(f"[child {engine}] first sample() (compile+run): {t_first:.1f}s")
 
-    res = sample(model, **kwargs)
-    t_sampler = float(res.diagnostics["sampler_seconds"])  # engine-only
-    log(f"[child {engine}] cached sampler run: {t_sampler:.1f}s")
+    # best of 3 cached runs: each is ONE device-atomic program launch,
+    # so the min filters any queueing delay from concurrent children
+    t_sampler = float("inf")
+    for _ in range(3):
+        res = sample(model, **kwargs)
+        t_sampler = min(t_sampler, float(res.diagnostics["sampler_seconds"]))
+    log(f"[child {engine}] cached sampler run (best of 3): {t_sampler:.2f}s")
 
     ess = np.asarray(res.diagnostics["ess"]["w"])
     out = {
@@ -147,18 +154,60 @@ def child_unsat() -> None:
     yv.observe(jnp.asarray(y))
     model = ProbabilisticModel([yv])
 
+    # hand-fused analytic value+grad of the ARD z-density, numerically
+    # VERIFIED against the autodiff walk below before being trusted.
+    # Shrinks the compiled NUTS program (the autodiff-walk variant
+    # cold-compiled in 754 s on 2026-08-20; this one is headline-class)
+    # and speeds every leapfrog.  z layout (ravel_pytree sorted keys):
+    # [:DIM] = tau's unconstrained v = log tau, [DIM:] = w.
+    import jax.flatten_util
+
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(np.asarray(y, np.float32))
+    sd2 = UNSAT_TAU_SD ** 2
+
+    def fused(zc):
+        v, w_ = zc[:, :DIM], zc[:, DIM:]
+        logits = w_ @ xj.T
+        ll = jnp.sum(yj[None, :] * logits - jax.nn.softplus(logits), -1)
+        e2 = jnp.exp(-2.0 * v)
+        val = (ll - 0.5 * jnp.sum(v * v, -1) / sd2 - jnp.sum(v, -1)
+               - 0.5 * jnp.sum(w_ * w_ * e2, -1))
+        resid = yj[None, :] - jax.nn.sigmoid(logits)
+        gw = resid @ xj - w_ * e2
+        gv = -v / sd2 - 1.0 + w_ * w_ * e2
+        return val, jnp.concatenate([gv, gw], -1)
+
+    comp = model.compiled()
+    params = comp.initial_params
+    _, unravel = jax.flatten_util.ravel_pytree(comp.z_example())
+    auto = jax.vmap(jax.value_and_grad(
+        lambda zf: comp.log_density_z(params, unravel(zf))))
+    zp = 0.5 * jax.random.normal(jax.random.PRNGKey(9), (3, 2 * DIM))
+    va, ga = auto(zp)
+    vf, gf = fused(zp)
+    const_ok = float(jnp.std(vf - va)) < 1e-2
+    grad_ok = bool(jnp.all(jnp.abs(gf - ga) <= 2e-3 * (1.0 + jnp.abs(ga))))
+    vg_fn = fused if (const_ok and grad_ok) else None
+    log(f"[child unsat] fused ARD potential "
+        f"{'verified' if vg_fn else 'MISMATCH - using autodiff'} "
+        f"(const_ok={const_ok} grad_ok={grad_ok})")
+
     kwargs = dict(
         kernel=NUTS(max_depth=MAX_DEPTH), num_samples=DRAWS,
         num_warmup=WARMUP, num_chains=CHAINS, key=jax.random.PRNGKey(0),
         chain_method="vectorized", target_accept=UNSAT_TARGET_ACCEPT,
+        value_and_grad_fn=vg_fn,
     )
     log(f"[child unsat] backend: {jax.devices()[0]}")
     t0 = time.time()
     res = sample(model, **kwargs)
     t_first = time.time() - t0
     log(f"[child unsat] first sample() (compile+run): {t_first:.1f}s")
-    res = sample(model, **kwargs)
-    t_sampler = float(res.diagnostics["sampler_seconds"])
+    t_sampler = float("inf")
+    for _ in range(3):
+        res = sample(model, **kwargs)
+        t_sampler = min(t_sampler, float(res.diagnostics["sampler_seconds"]))
     ess = np.concatenate([
         np.ravel(np.asarray(res.diagnostics["ess"][n])) for n in ("w", "tau")
     ])
@@ -204,26 +253,67 @@ def child_vae() -> None:
 # parent mode: oracle measurement + orchestration (no JAX here)
 # ======================================================================
 
-def run_child(args, budget: float):
-    """Run a child bench process under a hard timeout; parse its last
-    stdout line as JSON.  Returns None on timeout/crash."""
-    cmd = [sys.executable, os.path.abspath(__file__)] + args
-    log(f"[parent] {' '.join(args)} (budget {budget:.0f}s)")
-    try:
-        p = subprocess.run(cmd, timeout=budget, stdout=subprocess.PIPE,
-                           stderr=sys.stderr)
-    except subprocess.TimeoutExpired:
-        log(f"[parent] child {args} timed out after {budget:.0f}s")
-        return None
-    if p.returncode != 0:
-        log(f"[parent] child {args} failed rc={p.returncode}")
-        return None
-    lines = [l for l in p.stdout.decode().splitlines() if l.strip()]
-    try:
-        return json.loads(lines[-1])
-    except Exception as e:
-        log(f"[parent] child {args} unparseable output: {e}")
-        return None
+class Child:
+    """A bench child process polled asynchronously.
+
+    The axon backend multiplexes concurrent processes on the one chip,
+    and the remote compile service handles concurrent compile jobs with
+    negligible slowdown (measured: two fresh programs compile in 1.6 s
+    and 1.8 s concurrently vs 1.5 s alone) — while a child compiles, the
+    chip sits idle.  Running the children CONCURRENTLY therefore takes
+    max(compile times) instead of their sum, which is the difference
+    between fitting the driver budget and not: measured full-cold
+    compiles on 2026-08-20 were nuts 337 s, vae 477 s, unsat 754 s (the
+    remote service does NOT cache across processes, contrary to the
+    round-2 lore — re-measured twice).  Each child's TIMED measurement
+    is a single XLA program launch (device-atomic) taken as the best of
+    3 runs, so cross-child queueing delay cannot inflate it.
+    """
+
+    def __init__(self, name: str, args):
+        import tempfile
+
+        self.name = name
+        self.args = args
+        self.outfile = tempfile.NamedTemporaryFile(
+            mode="w+b", suffix=f"_{name}.out", delete=False
+        )
+        cmd = [sys.executable, os.path.abspath(__file__)] + args
+        self.t0 = time.time()
+        self.proc = subprocess.Popen(cmd, stdout=self.outfile, stderr=sys.stderr)
+        self.result = None
+        self.done = False
+        log(f"[parent] launched {name}")
+
+    def poll(self):
+        """None while running; on exit, the parsed last JSON line (or
+        None if the child failed) — cached."""
+        if self.done:
+            return self.result
+        if self.proc.poll() is None:
+            return None
+        self.done = True
+        dt = time.time() - self.t0
+        try:
+            with open(self.outfile.name, "rb") as f:
+                lines = [l for l in f.read().decode().splitlines() if l.strip()]
+            self.result = json.loads(lines[-1]) if lines else None
+        except Exception as e:
+            log(f"[parent] {self.name} unparseable output: {e}")
+            self.result = None
+        if self.proc.returncode != 0:
+            log(f"[parent] {self.name} failed rc={self.proc.returncode} "
+                f"after {dt:.0f}s")
+            self.result = None
+        elif self.result is not None:
+            log(f"[parent] {self.name} finished in {dt:.0f}s")
+        return self.result
+
+    def kill(self):
+        if self.proc.poll() is None:
+            self.proc.kill()  # exact PID we own
+            log(f"[parent] killed {self.name} after "
+                f"{time.time()-self.t0:.0f}s")
 
 
 def torch_leapfrog_oracle_step_seconds() -> float:
@@ -258,15 +348,6 @@ def torch_leapfrog_oracle_step_seconds() -> float:
             wnew = wt + 0.01 * r
         wt = wnew.detach().requires_grad_(True)
     return (time.time() - t0) / n_timed
-
-
-def _mark_warm() -> None:
-    try:
-        os.makedirs(os.path.dirname(WARM_MARKER), exist_ok=True)
-        with open(WARM_MARKER, "w") as f:
-            f.write(str(time.time()))
-    except OSError:
-        pass
 
 
 def torch_ard_oracle_step_seconds() -> float:
@@ -358,40 +439,55 @@ def main() -> None:
         return
 
     t_start = time.time()
-    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 560))
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 520))
+    deadline = t_start + total_budget
 
     # -- 1. reference-frame oracle (fast, CPU-only) ---------------------
     t_torch_step = torch_leapfrog_oracle_step_seconds()
     log(f"torch eager CPU: {t_torch_step*1e3:.2f} ms / batched leapfrog step")
 
-    # -- 2. headline engine: NUTS, with ChEES-HMC as fallback -----------
-    # budget adaptively: caching lives in the REMOTE compile service
-    # (cross-process), so a marker dropped after any successful child run
-    # means the service has these programs hot; fully cold the compile
-    # alone can take 250-400 s, so spend nearly the whole budget on the
-    # one attempt
-    cache = "/root/repo/.jax_cache"
-    cache_warm = os.path.exists(WARM_MARKER) or (
-        os.path.isdir(cache) and len(os.listdir(cache)) >= 3
-    )
-    log(f"compilation cache: {'warm' if cache_warm else 'cold'}")
-    remaining = total_budget - (time.time() - t_start)
-    nuts_budget = float(os.environ.get(
-        "BENCH_NUTS_BUDGET", 230 if cache_warm else remaining - 40))
-    r = run_child(["--child", "nuts"], nuts_budget)
+    # -- 2. ALL children launch concurrently (see Child docstring): the
+    # wall-clock cost is max(compile times), not their sum.  ChEES (a
+    # much smaller program, ~85 s compile) joins late as a headline
+    # RACER if NUTS is still compiling near the deadline.
+    children = {
+        "nuts": Child("nuts", ["--child", "nuts"]),
+        "vae": Child("vae", ["--child", "vae"]),
+        "unsat": Child("unsat", ["--child", "unsat"]),
+    }
+    chees = None
+    r = None
+    headline_engine = None
+    while time.time() < deadline - 25:
+        nr = children["nuts"].poll()
+        if nr is not None:
+            r, headline_engine = nr, "nuts"
+            break
+        if children["nuts"].done and chees is None:
+            # nuts crashed — fall back immediately
+            chees = Child("chees", ["--child", "chees"])
+        if chees is None and time.time() > deadline - 140:
+            log("[parent] nuts still compiling; launching chees racer")
+            chees = Child("chees", ["--child", "chees"])
+        if chees is not None:
+            cr = chees.poll()
+            if cr is not None and (
+                children["nuts"].done or time.time() > deadline - 60
+            ):
+                r, headline_engine = cr, "chees"
+                break
+        time.sleep(2.0)
     if r is None:
-        remaining = total_budget - (time.time() - t_start)
-        r = run_child(["--child", "chees"],
-                      float(os.environ.get("BENCH_CHEES_BUDGET",
-                                           max(remaining - 10, 60))))
-    if r is None:
+        for c in list(children.values()) + ([chees] if chees else []):
+            c.kill()
         # still print a parseable line so the driver records the failure
         print(json.dumps({
             "metric": "NUTS min-ESS/sec/chip (engines timed out)",
             "value": 0.0, "unit": "ess/sec", "vs_baseline": 0.0,
         }))
         return
-    _mark_warm()
+    if chees is not None and headline_engine == "nuts":
+        chees.kill()
 
     ess_per_sec = r["min_ess"] / r["sampler_seconds"]
 
@@ -439,19 +535,19 @@ def main() -> None:
         f"are latency/VPU-bound, see BASELINE.md)"
     )
 
-    # -- 4. secondary metric: VAE amortized-SVI ELBO steps/sec ----------
-    # one RETRY on timeout: the remote compile service finishes compiles
-    # whose client was killed, so a second attempt right after a timeout
-    # usually succeeds (measured behavior, CLAUDE.md)
-    rv = None
-    remaining = total_budget - (time.time() - t_start)
-    if remaining > 70:
-        rv = run_child(["--child", "vae"], min(remaining - 60, 200))
-        if rv is None:
-            remaining = total_budget - (time.time() - t_start)
-            if remaining > 50:
-                log("[parent] retrying vae child (remote compile should be hot)")
-                rv = run_child(["--child", "vae"], max(min(remaining - 30, 150), 40))
+    # -- 4. secondary metrics: poll the concurrently-launched children --
+    rv = ru = None
+    while time.time() < deadline - 12:
+        rv = children["vae"].poll()
+        ru = children["unsat"].poll()
+        if children["vae"].done and children["unsat"].done:
+            break
+        time.sleep(2.0)
+    children["vae"].kill()
+    children["unsat"].kill()
+    rv = rv or children["vae"].poll()
+    ru = ru or children["unsat"].poll()
+
     if rv is not None:
         torch_sps = torch_vae_oracle_steps_per_sec()
         log(
@@ -465,10 +561,6 @@ def main() -> None:
         log("secondary: VAE child did not finish within budget")
 
     # -- 5. unsaturated companion (VERDICT r2 #2): ARD logreg -----------
-    remaining = total_budget - (time.time() - t_start)
-    ru = None
-    if remaining > 90:
-        ru = run_child(["--child", "unsat"], remaining - 10)
     if ru is not None:
         unsat_eps = ru["min_ess"] / ru["sampler_seconds"]
         t_torch_unsat = torch_ard_oracle_step_seconds()
@@ -487,8 +579,7 @@ def main() -> None:
         primary["unsat_ess_cap"] = ru["ess_cap"]
         primary["unsat_ess_per_sec"] = round(unsat_eps, 1)
     else:
-        log(f"unsaturated companion: skipped "
-            f"({'no budget' if ru is None else 'failed'})")
+        log("unsaturated companion: did not finish within budget")
 
     # -- 6. enriched final JSON (same headline, extra keys) -------------
     if len(primary) > 4:

@@ -356,12 +356,17 @@ def perform_inference(
 
     opt_params_out, losses = run(opt_params, opt_state, k_run)
     if getattr(perform_inference, "_benchmark", False):
-        # time a second execution of the SAME compiled program
+        # time re-executions of the SAME compiled program; keep the best
+        # of 3 (each is one device-atomic launch, so the min filters any
+        # queueing delay from concurrent bench children)
         jax.block_until_ready(losses)
-        t0 = _time.time()
-        opt_params_out, losses = run(opt_params, opt_state, k_run)
-        jax.block_until_ready(losses)
-        perform_inference._last_run_seconds = _time.time() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.time()
+            opt_params_out, losses = run(opt_params, opt_state, k_run)
+            jax.block_until_ready(losses)
+            best = min(best, _time.time() - t0)
+        perform_inference._last_run_seconds = best
     opt_params = opt_params_out
 
     # reference behaviour: record the loss curve on the model
