@@ -70,6 +70,17 @@ def pmmh_sample(
     decisions are bitwise identical on every device.  Particle state
     never crosses ICI.
 
+    mesh + shard="both" (ROADMAP r3 #8): the 2-D composition on a mesh
+    carrying BOTH ``chain_axis`` and ``particle_axis`` — theta chains
+    shard over the chain axis while each chain's particles split into
+    island filters over the particle axis.  Per chain-shard the particle
+    collectives (pmax/psum) run only over the particle sub-axis, so the
+    island-combined likelihood is replicated within a chain row and the
+    accept decisions stay bitwise identical across its particle
+    replicas; the Robbins-Monro consensus pmean runs only over the chain
+    sub-axis.  This is the SMC²-scale layout: C×P work on C_dev×P_dev
+    chips with O(1) scalars over ICI per filter.
+
     Reproducibility note: sharded runs fold the device index into the
     run key (shard="chain") or the filter keys (shard="particle"), so
     the same `key` yields DIFFERENT chains under mesh vs no-mesh and
@@ -142,7 +153,7 @@ def pmmh_sample(
         )
         return thetas, lls, accepts, jnp.exp(log_scale)
 
-    if mesh is not None and shard not in ("chain", "particle"):
+    if mesh is not None and shard not in ("chain", "particle", "both"):
         raise ValueError(f"unknown shard mode {shard!r}")
     if mesh is None:
         loglik_batch = _make_loglik_batch(num_particles)
@@ -178,6 +189,56 @@ def pmmh_sample(
                 check_vma=False,
             )
         )(theta0, ll0, lp0)
+    elif shard == "both":  # 2-D chain x particle mesh (ROADMAP r3 #8)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_cdev = mesh.shape[chain_axis]
+        n_pdev = mesh.shape[particle_axis]
+        if theta0.shape[0] % n_cdev != 0:
+            raise ValueError(
+                f"num_chains={theta0.shape[0]} must divide over mesh axis "
+                f"{chain_axis!r} of size {n_cdev}"
+            )
+        if num_particles % n_pdev != 0:
+            raise ValueError(
+                f"num_particles={num_particles} must divide over mesh axis "
+                f"{particle_axis!r} of size {n_pdev}"
+            )
+        local_p = num_particles // n_pdev
+
+        def body(th):
+            my_c = jax.lax.axis_index(chain_axis)
+            my_p = jax.lax.axis_index(particle_axis)
+            # chain-shard key: distinct proposal streams per chain row;
+            # island key tweak: distinct particle streams per column.
+            kb = jax.random.fold_in(k_run, my_c)
+            local = _make_loglik_batch(
+                local_p, key_tweak=lambda k: jax.random.fold_in(k, my_p)
+            )
+
+            def combined(thetas_c, keys_c):
+                lml = local(thetas_c, keys_c)  # [C_local] island estimates
+                m = jax.lax.pmax(lml, particle_axis)
+                s = jax.lax.psum(jnp.exp(lml - m), particle_axis)
+                return m + jnp.log(s / n_pdev)
+
+            ll0 = combined(
+                th, jax.random.split(jax.random.fold_in(k_ll0, my_c),
+                                     th.shape[0])
+            )
+            lp0 = jax.vmap(log_prior)(th)
+            return _run(th, ll0, lp0, kb, chain_axis, combined)
+
+        thetas, lls, accepts, scale = jax.jit(
+            shard_map(
+                body, mesh=mesh,
+                in_specs=(P(chain_axis),),
+                out_specs=(P(None, chain_axis), P(None, chain_axis),
+                           P(None, chain_axis), P()),
+                check_vma=False,
+            )
+        )(theta0)
     else:  # shard == "particle": island filters per device (ROADMAP #7)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P

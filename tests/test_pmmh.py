@@ -99,6 +99,38 @@ def test_pmmh_sharded_chains(key):
     assert 0.3 * sd_a < a_draws.std() < 3.5 * sd_a, (a_draws.std(), sd_a)
 
 
+def test_pmmh_sharded_both_2d_mesh(key):
+    """shard='both' (ROADMAP r3 #8, the SMC²-scale layout): theta chains
+    shard over a 2-device chain axis while each chain's particles split
+    into island filters over a 4-device particle axis of the SAME 2x4
+    mesh.  Compiles, adapts, and lands on the Kalman-exact posterior."""
+    from brancher_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"chain": 2, "particle": 4})
+    params = LGSSMParams(a=0.85)
+    _, ys = make_lgssm_data(length=60, params=params, seed=0)
+    mean_a, sd_a = _kalman_loglik_grid(ys)
+    res = pmmh_sample(
+        _make_ssm,
+        jnp.asarray(ys),
+        log_prior=lambda th: -0.5 * jnp.sum((th / 1.5) ** 2),
+        theta0=jnp.asarray([np.arctanh(0.7)], jnp.float32),
+        num_samples=300,
+        num_warmup=150,
+        num_particles=128,  # 32 per island on the 4-wide particle axis
+        num_chains=8,  # 4 per shard on the 2-wide chain axis
+        key=key,
+        mesh=mesh,
+        shard="both",
+    )
+    a_draws = np.tanh(np.asarray(res.thetas)[..., 0].ravel())
+    assert res.thetas.shape == (8, 300, 1), res.thetas.shape
+    assert 0.05 < float(res.accept_rate) < 0.8, float(res.accept_rate)
+    assert abs(a_draws.mean() - mean_a) < 2.5 * sd_a, (
+        a_draws.mean(), mean_a, sd_a)
+    assert 0.3 * sd_a < a_draws.std() < 3.5 * sd_a, (a_draws.std(), sd_a)
+
+
 def test_pmmh_sharded_particles(key):
     """shard='particle' (ROADMAP #7): each chain's particles split into
     per-device island filters whose unbiased estimates combine by
