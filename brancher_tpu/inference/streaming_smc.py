@@ -21,6 +21,17 @@ The scan body is straight-line (branch-free selects; the padding mask
 gates increments), algorithmically identical to the batch filter in
 smc.py — filter means and log-marginals agree with the batch filter
 within Monte-Carlo error at any prefix (tests/test_smc.py).
+
+Sharded mode (ROADMAP r3 #5): pass ``mesh=`` to shard the particle axis
+over a pod slice while streaming — unbounded series at P particles on
+n_dev chips in O(lag + chunk) memory PER DEVICE.  Resampling is the
+exact global systematic draw (only the O(P) weight vector is gathered);
+ancestor STATE and each particle's fixed-lag ancestry line move
+point-to-point together through ONE ``ring_exchange`` pass (the [lag+1]
+states per particle ride the same ppermute rounds), and only on steps
+where the adaptive trigger fires.  Reductions (log-marginal, ESS,
+filter/smoothed means) are O(1)/O(d) psums.  The resampling key is
+replicated so every shard draws the identical global CDF positions.
 """
 from __future__ import annotations
 
@@ -74,15 +85,52 @@ class StreamingSMC:
         lag: int = 16,
         chunk_size: int = 256,
         ess_threshold: float = 0.5,
+        mesh=None,
+        particle_axis: str = "particle",
     ):
         self.ssm = ssm
         self.num_particles = int(num_particles)
         self.lag = int(lag)
         self.chunk_size = int(chunk_size)
         self.ess_threshold = float(ess_threshold)
-        self._process_jit = jax.jit(self._process_impl)
-        self._init_jit = jax.jit(self._init_impl)
-        self._finalize_jit = jax.jit(self._finalize_impl)
+        self.mesh = mesh
+        self.particle_axis = particle_axis
+        if mesh is None:
+            self._process_jit = jax.jit(self._process_impl)
+            self._init_jit = jax.jit(self._init_impl)
+            self._finalize_jit = jax.jit(self._finalize_impl)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            n_dev = mesh.shape[particle_axis]
+            if self.num_particles % n_dev != 0:
+                raise ValueError(
+                    f"num_particles={num_particles} must divide over mesh "
+                    f"axis {particle_axis!r} of size {n_dev}"
+                )
+            ax = particle_axis
+            state_spec = StreamingState(
+                t=P(), x=P(ax), lw=P(ax), log_ml=P(), lag_buf=P(None, ax)
+            )
+            self._process_jit = jax.jit(shard_map(
+                self._process_sharded, mesh=mesh,
+                in_specs=(state_spec, P(), P(), P()),
+                out_specs=(state_spec, (P(), P(), P(), P())),
+                check_vma=False,
+            ))
+            self._init_jit = jax.jit(shard_map(
+                self._init_sharded, mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=(state_spec, P(), P()),
+                check_vma=False,
+            ))
+            self._finalize_jit = jax.jit(shard_map(
+                self._finalize_sharded, mesh=mesh,
+                in_specs=(state_spec,),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ))
 
     # -- jitted kernels -------------------------------------------------
     def _init_impl(self, y0, key):
@@ -168,6 +216,114 @@ class StreamingSMC:
         times = state.t - lag + js
         return sm, times
 
+    # -- sharded kernels (particle axis over a mesh; ROADMAP r3 #5) ----
+    def _init_sharded(self, y0, key):
+        from ..ops.resampling import distributed_logsumexp
+
+        ax = self.particle_axis
+        n_dev = jax.lax.axis_size(ax)
+        local_p = self.num_particles // n_dev
+        my = jax.lax.axis_index(ax)
+        keys = jax.random.split(jax.random.fold_in(key, my), local_p)
+        x0 = jax.vmap(self.ssm.init_sample)(keys)
+        lw0 = jax.vmap(lambda x: self.ssm.obs_log_prob(y0, x, 0))(x0)
+        lse = distributed_logsumexp(lw0, ax)
+        log_ml0 = lse - jnp.log(float(self.num_particles))
+        buf = jnp.broadcast_to(x0[None], (self.lag,) + x0.shape)
+        w0 = jnp.exp(lw0 - lse)
+        mean0 = jax.lax.psum(jnp.tensordot(w0, x0, axes=(0, 0)), ax)
+        ess0 = 1.0 / jax.lax.psum(jnp.sum(w0 * w0), ax)
+        state = StreamingState(jnp.asarray(1, jnp.int32), x0, lw0, log_ml0, buf)
+        return state, mean0, ess0
+
+    def _process_sharded(self, state: StreamingState, ys, valid, key):
+        from ..ops.resampling import distributed_logsumexp, ring_exchange
+
+        p, lag, ax = self.num_particles, self.lag, self.particle_axis
+        ssm, thresh = self.ssm, self.ess_threshold
+        n_dev = jax.lax.axis_size(ax)
+        local_p = p // n_dev
+        my = jax.lax.axis_index(ax)
+        iota_g = my * local_p + jnp.arange(local_p)
+
+        def step(carry, inp):
+            x, lw, log_ml, buf, t = carry
+            y_t, ok, k_t = inp
+            k_res, k_prop = jax.random.split(k_t)
+
+            # weights only (O(P)): the global systematic CDF; the
+            # resampling key is replicated so every shard draws the
+            # identical positions (CLAUDE.md regression lesson)
+            lw_all = jax.lax.all_gather(lw, ax).reshape(-1)
+            ess = _ess(lw_all)
+            do_resample = jnp.logical_and(ess < thresh * p, ok)
+            idx_global = systematic_resample_indices(k_res, lw_all)
+            my_idx = jax.lax.dynamic_slice_in_dim(
+                idx_global, my * local_p, local_p
+            )
+
+            def do_exchange(args):
+                x, buf = args
+                # each particle's fixed-lag ancestry line moves WITH it:
+                # one ring pass over [local_p, lag+1, ...] stacked states
+                stacked = jnp.concatenate(
+                    [x[:, None], jnp.moveaxis(buf, 0, 1)], axis=1
+                )
+                out = ring_exchange(stacked, my_idx, ax)
+                return out[:, 0], jnp.moveaxis(out[:, 1:], 1, 0)
+
+            x, buf = jax.lax.cond(
+                do_resample, do_exchange, lambda a: a, (x, buf)
+            )
+            lse = distributed_logsumexp(lw, ax)
+            lw = jnp.where(
+                do_resample, jnp.zeros_like(lw), lw - lse + jnp.log(float(p))
+            )
+
+            keys = jax.vmap(lambda i: jax.random.fold_in(k_prop, i))(iota_g)
+            x_prop = jax.vmap(lambda kk, xx: ssm.trans_sample(kk, xx, t))(keys, x)
+            x_new = jnp.where(ok, x_prop, x)
+            l_obs = jax.vmap(lambda xx: ssm.obs_log_prob(y_t, xx, t))(x_new)
+            lw_new = jnp.where(ok, lw + l_obs, lw)
+
+            lse_new = distributed_logsumexp(lw_new, ax)
+            inc = lse_new - distributed_logsumexp(lw, ax)
+            log_ml = log_ml + jnp.where(ok, inc, 0.0)
+
+            w = jnp.exp(lw_new - lse_new)
+            mean_t = jax.lax.psum(jnp.tensordot(w, x_new, axes=(0, 0)), ax)
+            slot = jnp.mod(t, lag)
+            old = jax.lax.dynamic_index_in_dim(buf, slot, 0, keepdims=False)
+            sm_mean = jax.lax.psum(jnp.tensordot(w, old, axes=(0, 0)), ax)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, x_new, slot, 0)
+            ess_new = 1.0 / jax.lax.psum(jnp.sum(w * w), ax)
+
+            t_next = jnp.where(ok, t + 1, t)
+            return (x_new, lw_new, log_ml, buf, t_next), (
+                mean_t, sm_mean, t - lag, ess_new
+            )
+
+        keys = jax.random.split(key, ys.shape[0])
+        (x, lw, log_ml, buf, t), (means, sm_means, sm_times, esss) = jax.lax.scan(
+            step, (state.x, state.lw, state.log_ml, state.lag_buf, state.t),
+            (ys, valid, keys),
+        )
+        new_state = StreamingState(t, x, lw, log_ml, buf)
+        return new_state, (means, sm_means, sm_times, esss)
+
+    def _finalize_sharded(self, state: StreamingState):
+        from ..ops.resampling import distributed_logsumexp
+
+        lag, ax = self.lag, self.particle_axis
+        lse = distributed_logsumexp(state.lw, ax)
+        w = jnp.exp(state.lw - lse)
+        js = jnp.arange(lag)
+        slots = jnp.mod(state.t - lag + js, lag)
+        rows = jnp.take(state.lag_buf, slots, axis=0)  # [lag, P_local, ...]
+        sm = jax.lax.psum(jnp.tensordot(rows, w, axes=(1, 0)), ax)
+        times = state.t - lag + js
+        return sm, times
+
     # -- public API -----------------------------------------------------
     def init(self, y0, key: Optional[Array] = None):
         """Consume the first observation; returns (state, out) where out
@@ -220,17 +376,22 @@ def streaming_particle_filter(
     lag: int = 16,
     chunk_size: int = 256,
     ess_threshold: float = 0.5,
+    mesh=None,
+    particle_axis: str = "particle",
 ) -> StreamingResult:
     """Convenience driver: filter a full array through the streaming
     engine (device memory stays O(lag + chunk) regardless of T) and
-    assemble per-step filter/smoothed means on the host."""
+    assemble per-step filter/smoothed means on the host.  With ``mesh=``
+    the particle axis shards over the mesh (ring-exchange resampling;
+    see the module docstring)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     ys = np.asarray(ys)
     t_len = ys.shape[0]
     ev_shape = None
 
-    f = StreamingSMC(ssm, num_particles, lag, chunk_size, ess_threshold)
+    f = StreamingSMC(ssm, num_particles, lag, chunk_size, ess_threshold,
+                     mesh=mesh, particle_axis=particle_axis)
     state, (mean0, ess0) = f.init(ys[0], key)
     ev_shape = np.asarray(mean0).shape
     filter_means = np.zeros((t_len,) + ev_shape, np.float64)

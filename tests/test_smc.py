@@ -166,6 +166,34 @@ def test_streaming_filter_matches_batch_and_kalman(key):
     assert rmse_s < rmse_f  # lag-16 smoothing strictly improves
 
 
+def test_streaming_filter_sharded_matches_kalman(key):
+    """Sharded streaming filter (ROADMAP r3 #5): particles shard over the
+    fake 8-device mesh while streaming in chunks; the fixed-lag ancestry
+    buffer rides the ppermute ring with its particle.  Filter means and
+    log-marginal match the exact Kalman answer, and lag smoothing still
+    strictly improves on filtering."""
+    from brancher_tpu.inference.streaming_smc import streaming_particle_filter
+    from brancher_tpu.parallel import particle_mesh
+
+    params = LGSSMParams()
+    xs_true, ys = make_lgssm_data(length=300, params=params, seed=0)
+    ssm = lgssm_state_space(params)
+    kf_logml, kf_means, _ = kalman_filter(ys, params)
+
+    res = streaming_particle_filter(
+        ssm, np.asarray(ys), num_particles=2048, key=key, lag=16,
+        chunk_size=64, mesh=particle_mesh(),
+    )
+    fm = np.asarray(res.filter_means).ravel()
+    assert np.abs(fm - np.asarray(kf_means).ravel()).max() < 0.15
+    assert abs(float(res.log_marginal) - float(kf_logml)) < 2.0
+    xt = np.asarray(xs_true).ravel()
+    sm = np.asarray(res.smoothed_means).ravel()
+    rmse_f = float(np.sqrt(((fm - xt) ** 2).mean()))
+    rmse_s = float(np.sqrt(((sm - xt) ** 2).mean()))
+    assert rmse_s < rmse_f
+
+
 def test_streaming_filter_1e5_constant_memory(key):
     """T=100k streaming run: device-side carry stays O(lag * particles)
     (VERDICT r2 missing #5 'done' criterion), and the means match the
