@@ -375,10 +375,14 @@ class CompiledModel:
         return self._walk_mean(self._as_store(params), given or {})
 
     def sample_one(self, params, key: Array, given: Optional[Dict[str, Array]] = None):
+        """One ancestral draw: {name: value} for every variable, with
+        ``given`` entries clamped (pure function of params/key)."""
         values, _ = self._walk_sample(self._as_store(params), key, given or {})
         return values
 
     def log_prob_one(self, params, values: Dict[str, Array]) -> Array:
+        """Joint log-density of ONE full assignment in constrained space
+        (deterministic nodes recomputed when absent from ``values``)."""
         return self._walk_log_prob(self._as_store(params), values)
 
     def log_likelihood_one(self, params, values: Dict[str, Array]) -> Array:
@@ -444,6 +448,8 @@ class CompiledModel:
         return out
 
     def log_density_z(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Array:
+        """Joint log-density at UNCONSTRAINED latents ``z`` including the
+        support-transform Jacobians — the target MCMC/SVI differentiate."""
         _, logp = self._walk_z(self._as_store(params), z, given or {})
         return logp
 
@@ -1122,6 +1128,8 @@ class CompiledModel:
         return True
 
     def constrain(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
+        """Map unconstrained latents ``z`` to constrained values for every
+        variable (deterministic and observed nodes included)."""
         values, _ = self._walk_z(self._as_store(params), z, given or {})
         return values
 
@@ -1184,6 +1192,8 @@ class CompiledModel:
         return {n: values[n] for n in needed if n in values}
 
     def z_example(self, dtype=jnp.float32) -> Dict[str, Array]:
+        """Zero pytree with the unconstrained-latent shapes (init/tracing
+        template for MCMC state and guides)."""
         return {k: jnp.zeros(s, dtype) for k, s in self.z_shapes.items()}
 
     # ------------------------------------------------------------------
@@ -1200,6 +1210,9 @@ class CompiledModel:
         return jax.vmap(one, in_axes=(0, 0))(keys, gm_arrays)
 
     def sample(self, params, key: Array, n: int, given: Optional[Dict[str, Array]] = None):
+        """n vmapped ancestral draws (jitted, cached per given-structure);
+        ``given`` entries shaped [n, ...] map over the batch, others
+        broadcast."""
         given = dict(given or {})
         mapped_names: List[str] = []
         mapped_vals: List[Array] = []
@@ -1221,6 +1234,8 @@ class CompiledModel:
         return jax.vmap(lambda v: self.log_prob_one(params, v))(values)
 
     def log_prob(self, params, values: Dict[str, Array]) -> Array:
+        """Vmapped joint log-density over a leading batch axis of
+        ``values`` (jitted; unknown names are ignored)."""
         values = {k: jnp.asarray(v) for k, v in values.items() if k in set(self.names)}
         return self._log_prob_vmapped(params, values)
 

@@ -40,13 +40,21 @@ V5E_F32_PEAK = 49e12
 V5E_HBM_GBS = 819e9
 
 
-def timed(f, *args, reps=10):
-    out = f(*args)
-    jax.block_until_ready(out)
+def timed(f, z, *args, reps=10):
+    """Serialized timing: each iteration's z depends on the previous
+    grad, and the loop closes with a host fetch of a dependent scalar.
+    On the axon remote path a bare block_until_ready returned ~launch
+    latency (0.06 ms for a 550-GFLOP program, 46x the f32 roofline —
+    impossible), so independent same-input calls cannot be trusted;
+    the dependency chain forces real back-to-back execution."""
+    val, grad = f(z, *args)
+    jax.block_until_ready((val, grad))
     t0 = time.perf_counter()
+    zz = z
     for _ in range(reps):
-        out = f(*args)
-    jax.block_until_ready(out)
+        val, grad = f(zz, *args)
+        zz = zz + 1e-30 * grad
+    float(val[0])  # host fetch: everything above must have executed
     return (time.perf_counter() - t0) / reps
 
 
@@ -69,14 +77,18 @@ def run_shape(c, n, d, reps=10):
     print(f"   arithmetic intensity ~ {flops/bytes_min:.0f} FLOP/byte; "
           f"HBM floor {bytes_min/V5E_HBM_GBS*1e3:.1f} ms", flush=True)
 
-    ref32 = jax.jit(lambda zz: bernoulli_vg_reference(zz, xj, yj, bj, pmj, pivj))
-    t = timed(ref32, zj, reps=reps)
+    # NOTE: all operands are ARGUMENTS, not closure captures — a
+    # closed-over [N,d] design matrix becomes an HLO constant, and at
+    # N=131072 x d=1024 the 512 MB literal overflows the remote compile
+    # service's request limit (HTTP 413, measured 2026-08-20).
+    ref32 = jax.jit(bernoulli_vg_reference)
+    t = timed(ref32, zj, xj, yj, bj, pmj, pivj, reps=reps)
     print(f"   XLA f32      : {t*1e3:8.2f} ms  {flops/t/1e12:7.2f} TFLOP/s "
           f"({100*flops/t/V5E_F32_PEAK:5.1f}% of f32 peak)", flush=True)
 
     x16 = xj.astype(jnp.bfloat16)
 
-    def ref_bf16(zz):
+    def ref_bf16(zz, x16, yj, bj, pmj, pivj):
         # bf16 multiplies, f32 accumulate/elementwise — the MXU-native mode
         z16 = zz.astype(jnp.bfloat16)
         logits = jnp.dot(z16, x16.T, preferred_element_type=jnp.float32) + bj[None, :]
@@ -88,21 +100,24 @@ def run_shape(c, n, d, reps=10):
         return val, grad
 
     refb = jax.jit(ref_bf16)
-    t = timed(refb, zj, reps=reps)
+    t = timed(refb, zj, x16, yj, bj, pmj, pivj, reps=reps)
     print(f"   XLA bf16     : {t*1e3:8.2f} ms  {flops/t/1e12:7.2f} TFLOP/s "
           f"({100*flops/t/V5E_BF16_PEAK:5.1f}% of bf16 peak)", flush=True)
 
     # numeric sanity: bf16 path close to f32 on values
-    v32, g32 = ref32(zj)
-    vb, gb = refb(zj)
+    v32, g32 = ref32(zj, xj, yj, bj, pmj, pivj)
+    vb, gb = refb(zj, x16, yj, bj, pmj, pivj)
     rel = float(jnp.max(jnp.abs(vb - v32) / (jnp.abs(v32) + 1.0)))
     print(f"   bf16 rel err : {rel:.2e}", flush=True)
 
-    pall = jax.jit(lambda zz: bernoulli_vg_pallas(
-        zz, xj, yj, bj, pmj, pivj, block_chains=256, block_rows=1024))
+    from functools import partial
+    # smaller blocks at d=1024: 256x1024 blocks overflow the 16 MB
+    # scoped-vmem stack (measured: 18.24M request -> compile error)
+    pall = jax.jit(partial(
+        bernoulli_vg_pallas, block_chains=128, block_rows=512))
     try:
-        t = timed(pall, zj, reps=reps)
-        vp, gp = pall(zj)
+        t = timed(pall, zj, xj, yj, bj, pmj, pivj, reps=reps)
+        vp, gp = pall(zj, xj, yj, bj, pmj, pivj)
         err = float(jnp.max(jnp.abs(vp - v32) / (jnp.abs(v32) + 1.0)))
         print(f"   Pallas f32   : {t*1e3:8.2f} ms  {flops/t/1e12:7.2f} TFLOP/s "
               f"({100*flops/t/V5E_F32_PEAK:5.1f}% of f32 peak)  rel err {err:.1e}",

@@ -104,3 +104,26 @@ def test_dashboard_export(tmp_path, key):
     s2 = open(p2).read()
     assert s2.count('class="panel"') == 5
     assert "truncated at max_panels" in s2
+
+
+def test_api_docs_compiled_model_not_drifted():
+    """docs/API.md's compiled-model section is GENERATED from the live
+    CompiledModel docstrings (scripts/gen_api_docs.py, ROADMAP r3 #9);
+    this guard fails whenever the public surface changes without
+    regenerating the docs."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", os.path.join(root, "scripts", "gen_api_docs.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(root, "docs", "API.md")) as f:
+        text = f.read()
+    assert mod.BEGIN in text and mod.END in text
+    assert mod.render(text) == text, (
+        "docs/API.md compiled-model section is stale; run "
+        "python scripts/gen_api_docs.py"
+    )
