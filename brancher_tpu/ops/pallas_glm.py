@@ -243,14 +243,36 @@ def _glm_pallas_call(kernel, z, x, y, b_and_mask, prior_mean, prior_inv_var,
     return val[:c, 0], grad[:c]
 
 
+def _auto_blocks(d: int, block_chains, block_rows):
+    """Vmem-safe block defaults.  The double-buffered z/x input blocks
+    plus the VMEM-resident val/grad accumulators must fit the ~16 MB
+    scoped-vmem stack: 256x1024 blocks at d=1024 request 18.24 MB and
+    fail to compile (measured 2026-08-20).  Explicit caller values are
+    honored unchanged; None means auto (start 256x1024, shrink to fit)."""
+    bc = 256 if block_chains is None else block_chains
+    bn = 1024 if block_rows is None else block_rows
+    if block_chains is None and block_rows is None:
+        def est(bc, bn):  # bytes: 2x-buffered inputs + out val/grad
+            return (2 * (bc * d + bn * d) + 2 * bc * d) * 4
+        while est(bc, bn) > 10 * 2**20 and (bc > 8 or bn > 256):
+            if bn >= 2 * bc and bn > 256:
+                bn //= 2
+            elif bc > 8:
+                bc //= 2
+            else:
+                bn //= 2
+    return bc, bn
+
+
 def bernoulli_vg_pallas(z, x, y, b, prior_mean, prior_inv_var,
-                        ll_scale=1.0, block_chains=256, block_rows=1024,
+                        ll_scale=1.0, block_chains=None, block_rows=None,
                         interpret=False):
     """Pallas path of bernoulli_vg_reference (N-tiled)."""
     from jax.experimental import pallas as pl
 
     c, d = z.shape
     n = x.shape[0]
+    block_chains, block_rows = _auto_blocks(d, block_chains, block_rows)
     bn = min(block_rows, _round_up(n, 256))
     n_pad = _round_up(n, bn)
     mask = jnp.concatenate([jnp.ones((n,), jnp.float32),
@@ -271,13 +293,14 @@ def bernoulli_vg_pallas(z, x, y, b, prior_mean, prior_inv_var,
 
 
 def normal_vg_pallas(z, x, y, b, u, c0, prior_mean, prior_inv_var,
-                     ll_scale=1.0, block_chains=256, block_rows=1024,
+                     ll_scale=1.0, block_chains=None, block_rows=None,
                      interpret=False):
     """Pallas path of normal_vg_reference (N-tiled)."""
     from jax.experimental import pallas as pl
 
     c, d = z.shape
     n = x.shape[0]
+    block_chains, block_rows = _auto_blocks(d, block_chains, block_rows)
     bn = min(block_rows, _round_up(n, 256))
     n_pad = _round_up(n, bn)
     mask = jnp.concatenate([jnp.ones((n,), jnp.float32),
@@ -367,15 +390,28 @@ class FusedFamily(NamedTuple):
     def value_and_grad(self, use_pallas: str = "auto", interpret: bool = False):
         """Batched fused potential fn(z [C,D]) -> (val [C], grad [C,D]).
 
-        use_pallas="auto" resolves to the fused XLA reference: measured
-        END-TO-END inside the samplers (round 2, retrace-free), XLA beats
-        the Pallas kernel at every tested shape (logreg d=32: 0.29 s vs
-        0.43 s; AR d=2: 0.13 s vs 0.21 s) — the custom-call launch path
-        costs more than XLA's fused matmuls save.  Pass use_pallas=True
-        to force the kernel (it remains bit-checked against the
-        reference in tests)."""
+        use_pallas="auto" is SHAPE-aware (measured both ends):
+          * small d — fused XLA wins end-to-end inside the samplers
+            (round 2, retrace-free: logreg d=32 0.29 s vs 0.43 s; AR d=2
+            0.13 s vs 0.21 s) — the custom-call launch path costs more
+            than XLA's fused matmuls save;
+          * MXU-bound d — XLA's f32 dot strategy is wildly
+            shape-dependent (d=1024: 0.28 / 4.2 / 129 TFLOP/s across
+            C,N combinations) while the N-tiled kernel sustains a
+            consistent 65-83 TFLOP/s ≈ the 3-pass f32 MXU rate: the
+            kernel wins 233x at (C=1024, N=1.3e5) and 15.7x at (C=256,
+            N=1e6), and loses only 1.55x at (C=1024, N=1e6) where XLA
+            happens to pick a fast strategy
+            (scripts/exp_mxu_roofline.py, 2026-08-20; BASELINE.md
+            roofline table).
+        The crossover is unmeasured between d=32 and d=1024; auto
+        switches at d >= 512 — the robust choice given XLA's
+        pathological worst case.  Pass use_pallas=True/False to force
+        either path (the kernel stays bit-checked against the reference
+        in tests)."""
         if use_pallas == "auto":
-            use_pallas = False
+            use_pallas = (jax.default_backend() == "tpu"
+                          and self.x.shape[1] >= 512)
         f = self
         if f.family == "bernoulli_logit":
             if use_pallas:
