@@ -637,20 +637,29 @@ class CompiledModel:
             return self.log_density_z(params, z, {**given, **ref, **assign})
 
         base = float(lp_with({}))
-        d_star = {
-            n: jnp.asarray(rng.randint(0, k, s if s else ()), jnp.int32)
-            for n, s, k in info
-        }
-        joint = float(lp_with(d_star))
-        total = 0.0
-        for name, shape, k in info:
-            n_elem = int(np.prod(shape)) if shape else 1
-            flat_star = d_star[name].ravel()
-            flat_ref = ref[name].ravel()
-            for e in range(n_elem):
-                d = flat_ref.at[e].set(flat_star[e]).reshape(shape)
-                total += float(lp_with({name: d})) - base
-        return bool(abs((joint - base) - total) <= atol * max(1.0, abs(joint)))
+        # all-max probe first: saturating cross-element terms (e.g. a
+        # product over a plate) deviate from additivity only at dense
+        # assignments, which a single random draw can miss
+        probes = [
+            {n: jnp.full(s, k - 1, jnp.int32) for n, s, k in info}
+        ] + [
+            {n: jnp.asarray(rng.randint(0, k, s if s else ()), jnp.int32)
+             for n, s, k in info}
+            for _ in range(2)
+        ]
+        for d_star in probes:
+            joint = float(lp_with(d_star))
+            total = 0.0
+            for name, shape, k in info:
+                n_elem = int(np.prod(shape)) if shape else 1
+                flat_star = d_star[name].ravel()
+                flat_ref = ref[name].ravel()
+                for e in range(n_elem):
+                    d = flat_ref.at[e].set(flat_star[e]).reshape(shape)
+                    total += float(lp_with({name: d})) - base
+            if abs((joint - base) - total) > atol * max(1.0, abs(joint)):
+                return False
+        return True
 
     # ------------------------------------------------------------------
     # Structural discrete-factor extraction (VERDICT r2 #4 / ROADMAP #5).
@@ -868,6 +877,194 @@ class CompiledModel:
         order = _min_fill_order(list(cards), [t[0] for t in tables])
         return const + _eliminate_tables(tables, order)
 
+    def _enum_groups(self, given_keys=frozenset()):
+        """Connected components of the discrete interaction graph (two
+        latents join when some log-prob term touches both), each in
+        ``discrete_latent_names`` order.  Cached per key set."""
+        gk = frozenset(given_keys)
+        cache = getattr(self, "_enum_groups_cache", None)
+        if cache is None:
+            cache = {}
+            self._enum_groups_cache = cache
+        hit = cache.get(gk)
+        if hit is not None:
+            return hit
+        disc = [n for n in self.discrete_latent_names if n not in gk]
+        parent = {n: n for n in disc}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        struct = self._discrete_structure(gk)
+        for _v, deps in struct["terms"]:
+            deps = [d for d in deps if d in parent]
+            for b in deps[1:]:
+                parent[find(deps[0])] = find(b)
+        comps: Dict[str, List[str]] = {}
+        for n in disc:
+            comps.setdefault(find(n), []).append(n)
+        groups = tuple(tuple(g) for g in comps.values())
+        cache[gk] = groups
+        return groups
+
+    def group_enumerated_log_density(
+        self, params, z: Dict[str, Array],
+        given: Optional[Dict[str, Array]] = None,
+        return_responsibilities: bool = False,
+    ):
+        """log p(z, data) with PLATED interacting discrete latents summed
+        out per element (ROADMAP r3 #7: factorized plates with
+        cross-plate interactions previously errored).
+
+        Latents partition into interaction groups (``_enum_groups``);
+        within a group all latents must share one plate shape and their
+        interactions must be ELEMENT-wise across the plate — writing
+        ``logp(z, d) = C(z) + sum_(g,e) f_ge(d_g[e], z)`` over groups g
+        and plate elements e (verified numerically by
+        ``check_group_factorization``), the marginal is
+        ``C + sum_(g,e) logsumexp_combos (lp_ge(combo) - base)`` from
+        one vmapped batch of E·prod(K_i) full-density evaluations per
+        group.  With ``return_responsibilities`` also returns per-latent
+        per-element posterior marginals ``{name: [*, K]}`` (other group
+        members summed out).
+        """
+        given = dict(given or {})
+        info = self.discrete_enum_info(params, given)
+        shapes = {n: s for n, s, _k in info}
+        cards = {n: k for n, _s, k in info}
+        groups = self._enum_groups(frozenset(given.keys()))
+        ref = {n: jnp.zeros(s, jnp.int32) for n, s, _ in info}
+
+        def lp_with(assign):
+            return self.log_density_z(params, z, {**given, **ref, **assign})
+
+        base = lp_with({})
+        total = base
+        resp: Dict[str, Array] = {}
+        for grp in groups:
+            s0 = shapes[grp[0]]
+            if any(shapes[n] != s0 for n in grp[1:]):
+                raise ValueError(
+                    f"interacting discrete latents {grp} have mixed plate "
+                    f"shapes; group enumeration needs one shared shape"
+                )
+            ks = [cards[n] for n in grp]
+            m = int(np.prod(ks))
+            if m > 256:
+                raise ValueError(
+                    f"discrete group {grp} has {m} joint states per "
+                    "element (cap 256); break the interaction or "
+                    "marginalize by hand"
+                )
+            n_elem = int(np.prod(s0)) if s0 else 1
+            grids = jnp.meshgrid(
+                *[jnp.arange(k, dtype=jnp.int32) for k in ks], indexing="ij"
+            )
+            combos = jnp.stack([g.ravel() for g in grids], axis=1)  # [M, G]
+
+            def one(e, combo, _grp=grp, _shapes=shapes):
+                assign = {
+                    n: ref[n].ravel().at[e].set(combo[i]).reshape(_shapes[n])
+                    for i, n in enumerate(_grp)
+                }
+                return lp_with(assign)
+
+            ee = jnp.repeat(jnp.arange(n_elem), m)
+            cc = jnp.tile(combos, (n_elem, 1))
+            lps = jax.vmap(one)(ee, cc).reshape(n_elem, m)  # [E, M]
+            rel = lps - base
+            total = total + jnp.sum(jax.scipy.special.logsumexp(rel, axis=1))
+            if return_responsibilities:
+                joint = jax.nn.softmax(rel, axis=1).reshape(
+                    (n_elem,) + tuple(ks)
+                )
+                for i, n in enumerate(grp):
+                    axes = tuple(
+                        1 + j for j in range(len(grp)) if j != i
+                    )
+                    marg = jnp.sum(joint, axis=axes) if axes else joint
+                    resp[n] = marg.reshape(s0 + (cards[n],))
+        if return_responsibilities:
+            return total, resp
+        return total
+
+    def check_group_factorization(self, params, given=None, atol=1e-3) -> bool:
+        """True when every discrete interaction group's joint term is
+        additive across plate ELEMENTS (the decomposition
+        ``group_enumerated_log_density`` relies on).  Structural
+        pre-filters reject mixed plate shapes and oversized groups; the
+        numeric probe then checks that logp at a random joint assignment
+        equals the sum of per-group-per-element deviations (a term
+        coupling DIFFERENT elements — e.g. through a matmul — fails
+        here).  Verdict cached per conditioning-key set."""
+        given = dict(given or {})
+        gk = frozenset(given.keys())
+        cacheable = params is self.initial_params
+        cache = getattr(self, "_group_verdict_cache", None)
+        if cache is None:
+            cache = {}
+            self._group_verdict_cache = cache
+        if cacheable and gk in cache:
+            return cache[gk]
+        verdict = self._check_group_factorization_impl(params, given, atol)
+        if cacheable:
+            cache[gk] = verdict
+        return verdict
+
+    def _check_group_factorization_impl(self, params, given, atol) -> bool:
+        info = self.discrete_enum_info(params, given)
+        if not info:
+            return True
+        shapes = {n: s for n, s, _k in info}
+        cards = {n: k for n, _s, k in info}
+        groups = self._enum_groups(frozenset(given.keys()))
+        for grp in groups:
+            s0 = shapes[grp[0]]
+            if any(shapes[n] != s0 for n in grp[1:]):
+                return False
+            if int(np.prod([cards[n] for n in grp])) > 256:
+                return False
+        rng = np.random.RandomState(0)
+        z = {kname: jnp.asarray(rng.normal(0, 0.7, s).astype(np.float32))
+             for kname, s in self.z_shapes.items()}
+        ref = {n: jnp.zeros(s, jnp.int32) for n, s, _ in info}
+
+        def lp_with(assign):
+            return self.log_density_z(params, z, {**given, **ref, **assign})
+
+        base = float(lp_with({}))
+        # several probe assignments, led by the all-max one: saturating
+        # cross-element terms (e.g. a product over the plate) deviate
+        # from additivity ONLY at dense assignments, which a single
+        # random draw can easily miss
+        probes = [
+            {n: jnp.full(s, k - 1, jnp.int32) for n, s, k in info}
+        ] + [
+            {n: jnp.asarray(rng.randint(0, k, s if s else ()), jnp.int32)
+             for n, s, k in info}
+            for _ in range(3)
+        ]
+        for d_star in probes:
+            joint = float(lp_with(d_star))
+            total = 0.0
+            for grp in groups:
+                s0 = shapes[grp[0]]
+                n_elem = int(np.prod(s0)) if s0 else 1
+                for e in range(n_elem):
+                    assign = {
+                        n: ref[n].ravel().at[e].set(
+                            d_star[n].ravel()[e]
+                        ).reshape(s0)
+                        for n in grp
+                    }
+                    total += float(lp_with(assign)) - base
+            if abs((joint - base) - total) > atol * max(1.0, abs(joint)):
+                return False
+        return True
+
     def enum_log_density_fn(self, params, given=None):
         """Dispatch to the fastest EXACT enumerated density for this
         model's discrete structure (the single entry point mcmc.sample
@@ -878,7 +1075,9 @@ class CompiledModel:
         Order: element-wise logsumexp (independent latents, incl. vector
         plates) → forward algorithm on structural chain factors → general
         variable elimination (any scalar-latent interaction graph) →
-        numerically verified chain (legacy fallback)."""
+        numerically verified chain (legacy fallback) → per-element group
+        enumeration (plated latents with element-wise cross-plate
+        interactions, ROADMAP r3 #7)."""
         given = dict(given or {})
         gk = frozenset(given.keys())
         cacheable = params is self.initial_params
@@ -899,12 +1098,17 @@ class CompiledModel:
                 fn = self.factor_enumerated_log_density
             elif self.check_chain_factorization(params, given):
                 fn = self.chain_enumerated_log_density
+            elif self.check_group_factorization(params, given):
+                fn = self.group_enumerated_log_density
             else:
                 raise ValueError(
-                    "discrete latents do not factorize element-wise and "
-                    "are not all scalar: enumeration supports element-wise"
-                    " independent latents, Markov chains, and general "
-                    "SCALAR interaction graphs (variable elimination)"
+                    "discrete latents do not factorize element-wise: "
+                    "enumeration supports element-wise independent "
+                    "latents, Markov chains, general SCALAR interaction "
+                    "graphs (variable elimination), and plated latents "
+                    "whose interactions are element-wise across one "
+                    "shared plate (group enumeration); cross-element "
+                    "coupling (e.g. through a matmul) is not enumerable"
                 )
         if cacheable:
             cache[gk] = fn

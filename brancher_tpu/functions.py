@@ -124,6 +124,7 @@ matmul = _lift(jnp.matmul, "matmul")
 dot = _lift(jnp.dot, "dot")
 einsum = _lift(jnp.einsum, "einsum")
 sum = _lift(jnp.sum, "sum")
+prod = _lift(jnp.prod, "prod")
 mean = _lift(jnp.mean, "mean")
 max = _lift(jnp.max, "max")
 min = _lift(jnp.min, "min")

@@ -389,3 +389,109 @@ def test_structural_chain_tables_match_probe():
         return float(b + lse(alpha))
 
     assert abs(fwd(b_s, u_s, psi_s) - fwd(b_p, u_p, psi_p)) < 1e-3
+
+
+def _plated_pair_model(e=3):
+    """Two plated Bernoullis with an ELEMENT-wise interaction (z2's
+    logits follow z1 per element) plus a continuous latent — the
+    ROADMAP r3 #7 shape that previously raised."""
+    mu = NormalVariable(0.0, 2.0, "mu")
+    z1 = BernoulliVariable(0.4, name="z1", plate_shape=(e,))
+    z2 = BernoulliVariable(logits=1.5 * z1 - 0.5, name="z2")
+    y = NormalVariable(mu + z1 + 0.5 * z2 + 1.2 * z1 * z2, 0.7, "y")
+    y.observe(jnp.asarray(np.linspace(-0.5, 1.5, e), jnp.float32))
+    return ProbabilisticModel([y])
+
+
+def test_group_enumeration_matches_bruteforce():
+    import itertools
+
+    e = 3
+    comp = _plated_pair_model(e).compiled()
+    p = comp.initial_params
+    # interacting AND plated: every earlier path declines...
+    assert not comp.check_enum_factorization(p)
+    assert comp.discrete_chain_info(p) is None  # plated => no scalar chain
+    # ...and the dispatcher lands on per-element group enumeration
+    fn = comp.enum_log_density_fn(p)
+    assert fn == comp.group_enumerated_log_density
+    assert comp._enum_groups() == (("z1", "z2"),)
+
+    z = {"mu": jnp.asarray(0.6)}
+    got = float(fn(p, z))
+    lps = []
+    for d1 in itertools.product([0, 1], repeat=e):
+        for d2 in itertools.product([0, 1], repeat=e):
+            lps.append(float(comp.log_density_z(p, z, {
+                "z1": jnp.asarray(d1, jnp.int32),
+                "z2": jnp.asarray(d2, jnp.int32),
+            })))
+    expect = float(jax.scipy.special.logsumexp(jnp.asarray(lps)))
+    assert abs(got - expect) < 1e-4, (got, expect)
+
+    # gradient flows (the density sits under NUTS/SVI)
+    g = jax.grad(lambda m: comp.group_enumerated_log_density(p, {"mu": m}))(
+        jnp.asarray(0.6)
+    )
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+    # per-element posterior marginals: [E, K], rows sum to 1
+    _tot, resp = comp.group_enumerated_log_density(
+        p, z, return_responsibilities=True
+    )
+    assert set(resp) == {"z1", "z2"}
+    for n in ("z1", "z2"):
+        assert resp[n].shape == (e, 2)
+        np.testing.assert_allclose(np.asarray(resp[n]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_group_enumeration_rejects_cross_element_coupling():
+    """A term coupling DIFFERENT plate elements (product over the plate)
+    is not enumerable by any path — the dispatcher must raise its clean
+    ValueError instead of returning a wrong marginal."""
+    import pytest
+
+    z1 = BernoulliVariable(0.5, name="z1", plate_shape=(3,))
+    y = NormalVariable(2.0 * BF.prod(z1), 0.5, "y")
+    # NOT 1.0: that sits midway between the two reachable means (0 and
+    # 2), making the additivity defect cancel exactly at every probe
+    y.observe(jnp.asarray(1.5, jnp.float32))
+    comp = ProbabilisticModel([y]).compiled()
+    p = comp.initial_params
+    assert not comp.check_group_factorization(p)
+    with pytest.raises(ValueError, match="cross-element"):
+        comp.enum_log_density_fn(p)
+
+
+def test_group_enumerated_nuts(key):
+    """NUTS over mu with the plated interacting pair summed out lands on
+    the quadrature-exact posterior (brute-force discrete sum per mu)."""
+    e = 2
+    model = _plated_pair_model(e)
+    comp = model.compiled()
+    p = comp.initial_params
+
+    # quadrature ground truth over mu with the 2^e x 2^e discrete sum
+    import itertools
+
+    grid = np.linspace(-3.0, 3.0, 241)
+    lps = []
+    for m in grid:
+        z = {"mu": jnp.asarray(float(m), jnp.float32)}
+        vals = [float(comp.log_density_z(p, z, {
+            "z1": jnp.asarray(d1, jnp.int32),
+            "z2": jnp.asarray(d2, jnp.int32),
+        })) for d1 in itertools.product([0, 1], repeat=e)
+            for d2 in itertools.product([0, 1], repeat=e)]
+        lps.append(float(jax.scipy.special.logsumexp(jnp.asarray(vals))))
+    w = np.exp(np.asarray(lps) - max(lps))
+    w /= w.sum()
+    mu_mean = float((w * grid).sum())
+    mu_sd = float(np.sqrt((w * (grid - mu_mean) ** 2).sum()))
+
+    res = sample(model, kernel=NUTS(), num_samples=400, num_warmup=300,
+                 num_chains=4, key=key, enumerate_discrete=True)
+    draws = np.asarray(res.samples["mu"]).ravel()
+    assert abs(draws.mean() - mu_mean) < 3.5 * mu_sd / np.sqrt(40), (
+        draws.mean(), mu_mean, mu_sd)
+    assert 0.6 * mu_sd < draws.std() < 1.5 * mu_sd, (draws.std(), mu_sd)
