@@ -403,15 +403,19 @@ class FusedFamily(NamedTuple):
             N=1e6), and loses only 1.55x at (C=1024, N=1e6) where XLA
             happens to pick a fast strategy
             (scripts/exp_mxu_roofline.py, 2026-08-20; BASELINE.md
-            roofline table).
-        The crossover is unmeasured between d=32 and d=1024; auto
-        switches at d >= 512 — the robust choice given XLA's
-        pathological worst case.  Pass use_pallas=True/False to force
-        either path (the kernel stays bit-checked against the reference
-        in tests)."""
+            roofline table).  The crossover sweep at N=131072 shows the
+            kernel winning at EVERY d in {128, 256, 512} (40x/15.7x/
+            13.3x) — XLA f32's small-shape win exists only in the
+            small-N latency regime (d=32 at N=1000).
+        Auto therefore keys on BOTH dims: the kernel at d >= 512
+        (robust at any N), or d >= 128 with N >= 16384; the bench-class
+        small models stay on the measured-faster fused XLA path.  Pass
+        use_pallas=True/False to force either path (the kernel stays
+        bit-checked against the reference in tests)."""
         if use_pallas == "auto":
+            n, d = self.x.shape
             use_pallas = (jax.default_backend() == "tpu"
-                          and self.x.shape[1] >= 512)
+                          and (d >= 512 or (d >= 128 and n >= 16384)))
         f = self
         if f.family == "bernoulli_logit":
             if use_pallas:

@@ -128,6 +128,12 @@ def run_shape(c, n, d, reps=10):
 
 if __name__ == "__main__":
     print("backend:", jax.devices()[0], flush=True)
-    run_shape(1024, 131072, 1024)
-    run_shape(256, 1048576, 1024, reps=5)
-    run_shape(1024, 1048576, 1024, reps=5)
+    if len(sys.argv) > 1:
+        # crossover sweep: C,N,d triples as "C:N:d" args
+        for spec in sys.argv[1:]:
+            c, n, d = (int(v) for v in spec.split(":"))
+            run_shape(c, n, d)
+    else:
+        run_shape(1024, 131072, 1024)
+        run_shape(256, 1048576, 1024, reps=5)
+        run_shape(1024, 1048576, 1024, reps=5)
