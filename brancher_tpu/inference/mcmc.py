@@ -422,9 +422,14 @@ def sample(
 
     fused_potential: "auto" (default) probes the compiled model for a
     dense-GLM structure (ops/pallas_glm.py) and, when it matches and
-    self-checks against the autodiff density, uses the fused Pallas
-    value+grad kernel instead of vmapped autodiff.  "off" disables the
-    probe.  Ignored when value_and_grad_fn is given.
+    self-checks against the autodiff density, uses the fused value+grad
+    path instead of vmapped autodiff (shape-aware: the Pallas N-tiled
+    kernel at MXU-bound shapes, fused XLA at small ones — BASELINE.md
+    roofline table).  "bf16" additionally pre-casts the design matrix to
+    bf16 (bf16 multiplies / f32 accumulates — fastest measured mode at
+    MXU-bound shapes, ~1e-6 relative density error, so the sampled
+    target is very slightly perturbed; bernoulli/normal families).
+    "off" disables the probe.  Ignored when value_and_grad_fn is given.
 
     diagnostics_backend: where ESS/R-hat are computed.  "host" = numpy
     FFT Geyer (transfers the full sample array); "device" = truncated-lag
@@ -484,7 +489,7 @@ def sample(
     if (
         value_and_grad_fn is None
         and chain_method == "vectorized"
-        and fused_potential == "auto"
+        and fused_potential in ("auto", "bf16")
         and params is comp.initial_params
         and not given
     ):
@@ -495,12 +500,26 @@ def sample(
         fam = comp._fused_family_cache
         if fam is not None and not getattr(fam, "auto_upgradable", True):
             fam = None  # e.g. categorical: autodiff measured faster
+        if fam is not None and fused_potential == "bf16" and getattr(
+            fam, "family", None
+        ) not in ("bernoulli_logit", "normal_learned"):
+            fam = None  # bf16 mode covers the two dense-matmul families
         if fam is not None:
             # stable callable identities => the vectorized runner cache
             # below can hit across sample() calls
-            if not hasattr(comp, "_fused_vg_built"):
-                comp._fused_vg_built = fam.value_and_grad()
-            value_and_grad_fn = comp._fused_vg_built
+            if fused_potential == "bf16":
+                # bf16 multiplies / f32 accumulates on a pre-cast design
+                # matrix — the MXU-native mode (BASELINE.md roofline:
+                # fastest at 2 of 3 MXU-bound shapes, ~1e-6 rel value
+                # error; opt-in, samples a slightly perturbed density)
+                if not hasattr(comp, "_fused_vg_built_bf16"):
+                    comp._fused_vg_built_bf16 = fam.value_and_grad(
+                        dtype="bf16")
+                value_and_grad_fn = comp._fused_vg_built_bf16
+            else:
+                if not hasattr(comp, "_fused_vg_built"):
+                    comp._fused_vg_built = fam.value_and_grad()
+                value_and_grad_fn = comp._fused_vg_built
             if fused_leapfrog:
                 # whole-trajectory Pallas kernel: 4-10% faster per
                 # leapfrog in isolation, but per-launch overhead inside

@@ -60,6 +60,54 @@ def bernoulli_vg_reference(
     return val, grad
 
 
+def bernoulli_vg_reference_bf16(
+    z: Array, x16: Array, y: Array, b: Array,
+    prior_mean: Array, prior_inv_var: Array, ll_scale: float = 1.0,
+) -> Tuple[Array, Array]:
+    """bernoulli_vg_reference with bf16 multiplies / f32 accumulates —
+    the MXU-native mode.  Measured fastest at 2 of 3 MXU-bound shapes
+    (93.8 and 143.2 TFLOP/s = 47.6% / 72.7% of bf16 peak; BASELINE.md
+    roofline table) with ~1e-6 relative value error vs f32.  ``x16`` is
+    the PRE-CAST bf16 design matrix (cast once at build time, not per
+    call — a per-call cast would stream the full matrix through HBM
+    twice)."""
+    z16 = z.astype(jnp.bfloat16)
+    logits = jnp.dot(z16, x16.T, preferred_element_type=jnp.float32) + b[None, :]
+    ll = jnp.sum(y[None, :] * logits - jax.nn.softplus(logits), axis=-1)
+    dz = z - prior_mean[None, :]
+    val = ll_scale * ll - 0.5 * jnp.sum(dz * dz * prior_inv_var[None, :], -1)
+    resid = (y[None, :] - jax.nn.sigmoid(logits)).astype(jnp.bfloat16)
+    grad = ll_scale * jnp.dot(
+        resid, x16, preferred_element_type=jnp.float32
+    ) - dz * prior_inv_var[None, :]
+    return val, grad
+
+
+def normal_vg_reference_bf16(
+    z: Array, x16: Array, y: Array, b: Array, u: Array, c0: float,
+    prior_mean: Array, prior_inv_var: Array, ll_scale: float = 1.0,
+) -> Tuple[Array, Array]:
+    """normal_vg_reference with bf16 multiplies / f32 accumulates (see
+    bernoulli_vg_reference_bf16; ``u`` is [D]-small and stays f32)."""
+    n = y.shape[0]
+    z16 = z.astype(jnp.bfloat16)
+    loc = jnp.dot(z16, x16.T, preferred_element_type=jnp.float32) + b[None, :]
+    resid = y[None, :] - loc  # [C, N] f32
+    s = z @ u + c0  # [C]
+    e2 = jnp.exp(-2.0 * s)
+    rss = jnp.sum(resid * resid, -1)
+    dz = z - prior_mean[None, :]
+    val = ll_scale * (-0.5 * e2 * rss - n * s) - 0.5 * jnp.sum(
+        dz * dz * prior_inv_var[None, :], -1
+    )
+    g_loc = e2[:, None] * jnp.dot(
+        resid.astype(jnp.bfloat16), x16, preferred_element_type=jnp.float32
+    )
+    g_s = e2 * rss - n
+    grad = ll_scale * (g_loc + g_s[:, None] * u[None, :]) - dz * prior_inv_var[None, :]
+    return val, grad
+
+
 def normal_vg_reference(
     z: Array, x: Array, y: Array, b: Array, u: Array, c0: float,
     prior_mean: Array, prior_inv_var: Array, ll_scale: float = 1.0,
@@ -387,8 +435,16 @@ class FusedFamily(NamedTuple):
     prior_inv_var: Array
     ll_scale: float
 
-    def value_and_grad(self, use_pallas: str = "auto", interpret: bool = False):
+    def value_and_grad(self, use_pallas: str = "auto", interpret: bool = False,
+                       dtype: str = "f32"):
         """Batched fused potential fn(z [C,D]) -> (val [C], grad [C,D]).
+
+        dtype="bf16" uses bf16 multiplies with f32 accumulates on a
+        PRE-CAST design matrix — the MXU-native mode, measured fastest
+        at 2 of 3 MXU-bound shapes (BASELINE.md roofline table; ~1e-6
+        relative value error).  Opt-in because it samples a (very
+        slightly) perturbed density; exposed as
+        ``sample(..., fused_potential="bf16")``.
 
         use_pallas="auto" is SHAPE-aware (measured both ends):
           * small d — fused XLA wins end-to-end inside the samplers
@@ -417,6 +473,15 @@ class FusedFamily(NamedTuple):
             use_pallas = (jax.default_backend() == "tpu"
                           and (d >= 512 or (d >= 128 and n >= 16384)))
         f = self
+        if dtype == "bf16":
+            x16 = f.x.astype(jnp.bfloat16)  # cast ONCE, outside the closure
+            if f.family == "bernoulli_logit":
+                return lambda z: bernoulli_vg_reference_bf16(
+                    z, x16, f.y, f.b, f.prior_mean, f.prior_inv_var,
+                    f.ll_scale)
+            return lambda z: normal_vg_reference_bf16(
+                z, x16, f.y, f.b, f.u, f.c0, f.prior_mean,
+                f.prior_inv_var, f.ll_scale)
         if f.family == "bernoulli_logit":
             if use_pallas:
                 return lambda z: bernoulli_vg_pallas(

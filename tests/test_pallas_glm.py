@@ -273,3 +273,58 @@ def test_categorical_fused_nuts_matches_autodiff_path(key):
     m_p = np.asarray(res_plain.samples["w"]).mean((0, 1))
     np.testing.assert_allclose(m_f, m_p, atol=0.25)
     assert float(res_fused.diagnostics["num_divergences"]) == 0
+
+
+def test_bf16_references_match_f32(key):
+    """bf16-multiply/f32-accumulate references (the MXU-native potential
+    mode, BASELINE.md roofline) agree with the f32 formulas to bf16
+    rounding on values AND gradients."""
+    from brancher_tpu.ops.pallas_glm import (
+        bernoulli_vg_reference_bf16, normal_vg_reference_bf16,
+    )
+
+    n, d, c = 700, 16, 32
+    ks = jax.random.split(key, 5)
+    x = _rand(ks[0], n, d) / np.sqrt(d)
+    y = (jax.random.uniform(ks[1], (n,)) < 0.5).astype(jnp.float32)
+    b = 0.1 * _rand(ks[2], n)
+    z = 0.5 * _rand(ks[3], c, d)
+    m, iv = jnp.zeros(d), jnp.ones(d)
+    x16 = x.astype(jnp.bfloat16)
+
+    v32, g32 = bernoulli_vg_reference(z, x, y, b, m, iv)
+    vb, gb = bernoulli_vg_reference_bf16(z, x16, y, b, m, iv)
+    assert float(jnp.max(jnp.abs(vb - v32) / (jnp.abs(v32) + 1.0))) < 2e-2
+    assert float(jnp.max(jnp.abs(gb - g32) / (jnp.max(jnp.abs(g32)) + 1.0))) < 2e-2
+
+    u = jnp.zeros(d).at[-1].set(1.0)
+    yc = _rand(ks[4], n)
+    v32, g32 = normal_vg_reference(z, x, yc, b, u, -0.5, m, iv)
+    vb, gb = normal_vg_reference_bf16(z, x16, yc, b, u, -0.5, m, iv)
+    assert float(jnp.max(jnp.abs(vb - v32) / (jnp.abs(v32) + 1.0))) < 2e-2
+    assert float(jnp.max(jnp.abs(gb - g32) / (jnp.max(jnp.abs(g32)) + 1.0))) < 2e-2
+
+
+def test_sample_fused_potential_bf16_matches_f32_posterior(key):
+    """sample(fused_potential='bf16') runs the bf16 fused path end to end
+    and lands on the same logreg posterior as the f32 default."""
+    from brancher_tpu import ProbabilisticModel
+    from brancher_tpu.inference import sample, NUTS
+    from brancher_tpu.models.logistic_regression import (
+        logistic_regression_model, make_logreg_data,
+    )
+
+    x, y, _ = make_logreg_data(num_points=150, dim=4, seed=0)
+    kw = dict(kernel=NUTS(), num_samples=300, num_warmup=300, num_chains=4)
+    m1 = logistic_regression_model(x, y)
+    res32 = sample(m1, key=key, **kw)
+    m2 = logistic_regression_model(x, y)
+    comp2 = m2.compiled()
+    res16 = sample(m2, key=key, fused_potential="bf16", **kw)
+    # the bf16 closure was actually built and used
+    assert hasattr(comp2, "_fused_vg_built_bf16")
+    for name in res32.samples:
+        mu32 = np.asarray(res32.samples[name]).mean(axis=(0, 1))
+        mu16 = np.asarray(res16.samples[name]).mean(axis=(0, 1))
+        sd32 = np.asarray(res32.samples[name]).std()
+        np.testing.assert_allclose(mu16, mu32, atol=0.35 * sd32 + 0.02)
