@@ -1028,41 +1028,47 @@ class CompiledModel:
             if int(np.prod([cards[n] for n in grp])) > 256:
                 return False
         rng = np.random.RandomState(0)
-        z = {kname: jnp.asarray(rng.normal(0, 0.7, s).astype(np.float32))
-             for kname, s in self.z_shapes.items()}
         ref = {n: jnp.zeros(s, jnp.int32) for n, s, _ in info}
+        # probe at SEVERAL independent z draws (ADVICE r3 #4: a coupling
+        # whose additivity defect happens to cancel at one z would be
+        # mis-dispatched — mirror check_chain_factorization's
+        # fresh-z-per-trial structure), each with several assignments led
+        # by the all-max one: saturating cross-element terms (e.g. a
+        # product over the plate) deviate from additivity ONLY at dense
+        # assignments, which a single random draw can easily miss
+        for _zdraw in range(2):
+            z = {kname: jnp.asarray(rng.normal(0, 0.7, s).astype(np.float32))
+                 for kname, s in self.z_shapes.items()}
 
-        def lp_with(assign):
-            return self.log_density_z(params, z, {**given, **ref, **assign})
+            def lp_with(assign, _z=z):
+                return self.log_density_z(
+                    params, _z, {**given, **ref, **assign}
+                )
 
-        base = float(lp_with({}))
-        # several probe assignments, led by the all-max one: saturating
-        # cross-element terms (e.g. a product over the plate) deviate
-        # from additivity ONLY at dense assignments, which a single
-        # random draw can easily miss
-        probes = [
-            {n: jnp.full(s, k - 1, jnp.int32) for n, s, k in info}
-        ] + [
-            {n: jnp.asarray(rng.randint(0, k, s if s else ()), jnp.int32)
-             for n, s, k in info}
-            for _ in range(3)
-        ]
-        for d_star in probes:
-            joint = float(lp_with(d_star))
-            total = 0.0
-            for grp in groups:
-                s0 = shapes[grp[0]]
-                n_elem = int(np.prod(s0)) if s0 else 1
-                for e in range(n_elem):
-                    assign = {
-                        n: ref[n].ravel().at[e].set(
-                            d_star[n].ravel()[e]
-                        ).reshape(s0)
-                        for n in grp
-                    }
-                    total += float(lp_with(assign)) - base
-            if abs((joint - base) - total) > atol * max(1.0, abs(joint)):
-                return False
+            base = float(lp_with({}))
+            probes = [
+                {n: jnp.full(s, k - 1, jnp.int32) for n, s, k in info}
+            ] + [
+                {n: jnp.asarray(rng.randint(0, k, s if s else ()), jnp.int32)
+                 for n, s, k in info}
+                for _ in range(2)
+            ]
+            for d_star in probes:
+                joint = float(lp_with(d_star))
+                total = 0.0
+                for grp in groups:
+                    s0 = shapes[grp[0]]
+                    n_elem = int(np.prod(s0)) if s0 else 1
+                    for e in range(n_elem):
+                        assign = {
+                            n: ref[n].ravel().at[e].set(
+                                d_star[n].ravel()[e]
+                            ).reshape(s0)
+                            for n in grp
+                        }
+                        total += float(lp_with(assign)) - base
+                if abs((joint - base) - total) > atol * max(1.0, abs(joint)):
+                    return False
         return True
 
     def enum_log_density_fn(self, params, given=None):

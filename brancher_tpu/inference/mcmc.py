@@ -486,6 +486,7 @@ def sample(
 
     # -- fused-potential auto-upgrade (cached per compiled model) ----------
     leapfrog_fn = None
+    _bf16_active = False
     if (
         value_and_grad_fn is None
         and chain_method == "vectorized"
@@ -516,6 +517,7 @@ def sample(
                     comp._fused_vg_built_bf16 = fam.value_and_grad(
                         dtype="bf16")
                 value_and_grad_fn = comp._fused_vg_built_bf16
+                _bf16_active = True
             else:
                 if not hasattr(comp, "_fused_vg_built"):
                     comp._fused_vg_built = fam.value_and_grad()
@@ -528,6 +530,22 @@ def sample(
                 if not hasattr(comp, "_fused_leapfrog_built"):
                     comp._fused_leapfrog_built = fam.leapfrog()
                 leapfrog_fn = comp._fused_leapfrog_built
+    if fused_potential == "bf16" and not _bf16_active:
+        # ADVICE r3 #2: the user explicitly opted into a speed/precision
+        # trade — a silent f32 fallback (failed probe, unsupported
+        # family, or unmet vectorized/initial-params/no-given
+        # preconditions) would misreport what was actually sampled
+        import warnings
+
+        warnings.warn(
+            "fused_potential='bf16' was requested but the bf16 fused "
+            "potential is not in use (the GLM probe failed, the family "
+            "is unsupported, or a precondition — chain_method="
+            "'vectorized', default params, no given, no explicit "
+            "value_and_grad_fn — does not hold); sampling proceeds with "
+            "the f32 path.",
+            stacklevel=2,
+        )
     if hasattr(kernel, "make_step"):
         kernel_step = kernel.make_step(potential_fn)
     elif chain_method != "vectorized":

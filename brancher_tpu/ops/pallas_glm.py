@@ -299,16 +299,24 @@ def _auto_blocks(d: int, block_chains, block_rows):
     honored unchanged; None means auto (start 256x1024, shrink to fit)."""
     bc = 256 if block_chains is None else block_chains
     bn = 1024 if block_rows is None else block_rows
-    if block_chains is None and block_rows is None:
+    # shrink over whichever dimension(s) the caller left as auto (ADVICE
+    # r3 #3: requiring BOTH to be None let a single explicit arg reach
+    # the 18 MB scoped-vmem compile failure the docstring documents)
+    bc_auto, bn_auto = block_chains is None, block_rows is None
+    if bc_auto or bn_auto:
         def est(bc, bn):  # bytes: 2x-buffered inputs + out val/grad
             return (2 * (bc * d + bn * d) + 2 * bc * d) * 4
-        while est(bc, bn) > 10 * 2**20 and (bc > 8 or bn > 256):
-            if bn >= 2 * bc and bn > 256:
+        while est(bc, bn) > 10 * 2**20 and (
+            (bc_auto and bc > 8) or (bn_auto and bn > 256)
+        ):
+            if bn_auto and bn >= 2 * bc and bn > 256:
                 bn //= 2
-            elif bc > 8:
+            elif bc_auto and bc > 8:
                 bc //= 2
-            else:
+            elif bn_auto:
                 bn //= 2
+            else:
+                bc //= 2
     return bc, bn
 
 
@@ -474,6 +482,14 @@ class FusedFamily(NamedTuple):
                           and (d >= 512 or (d >= 128 and n >= 16384)))
         f = self
         if dtype == "bf16":
+            if f.family not in ("bernoulli_logit", "normal_learned"):
+                # ADVICE r3 #1: without this, an unsupported family would
+                # fall into normal_vg_reference_bf16 and crash opaquely
+                # (z @ None) instead of stating the capability boundary
+                raise ValueError(
+                    "dtype='bf16' supports the bernoulli_logit and "
+                    f"normal_learned families, not {f.family!r}"
+                )
             x16 = f.x.astype(jnp.bfloat16)  # cast ONCE, outside the closure
             if f.family == "bernoulli_logit":
                 return lambda z: bernoulli_vg_reference_bf16(
