@@ -910,86 +910,180 @@ class CompiledModel:
         cache[gk] = groups
         return groups
 
+    @staticmethod
+    def _combo_grid(ks) -> Array:
+        """[prod(ks), len(ks)] int32 cartesian product (row 0 all-zero)."""
+        if not ks:
+            return jnp.zeros((1, 0), jnp.int32)
+        grids = jnp.meshgrid(
+            *[jnp.arange(k, dtype=jnp.int32) for k in ks], indexing="ij"
+        )
+        return jnp.stack([g.ravel() for g in grids], axis=1)
+
+    @staticmethod
+    def _group_layout(grp, shapes, cards):
+        """(scalars, plated, s0) split of a group's latents; raises on
+        shapes group enumeration cannot handle (several DISTINCT
+        non-scalar shapes) and on oversized joint state spaces."""
+        scalars = tuple(n for n in grp if tuple(shapes[n]) == ())
+        plated = tuple(n for n in grp if tuple(shapes[n]) != ())
+        s0 = tuple(shapes[plated[0]]) if plated else ()
+        if any(tuple(shapes[n]) != s0 for n in plated[1:]):
+            raise ValueError(
+                f"interacting discrete latents {grp} have several "
+                f"distinct non-scalar shapes; group enumeration handles "
+                "scalars plus ONE shared plate shape"
+            )
+        a = int(np.prod([cards[n] for n in scalars])) if scalars else 1
+        m = int(np.prod([cards[n] for n in plated])) if plated else 1
+        if a * m > 256:
+            raise ValueError(
+                f"discrete group {grp} has {a * m} joint states per "
+                "element (cap 256); break the interaction or "
+                "marginalize by hand"
+            )
+        return scalars, plated, s0
+
+    def _group_tables_structural(self, grp, scalars, plated, s0, struct,
+                                 store, base_vals, z, cards):
+        """(rel_scal [A], rel_elem [A, M, E]) relative log-tables of the
+        group's terms from STRUCTURALLY extracted local evaluations
+        (VERDICT r3 missing #4): scalar-only terms go through
+        ``_term_table`` (local recompute walks), plated terms through
+        ``_term_vec_fn`` with ALL plate elements set to one combo — a
+        single [E]-vector evaluation replaces E separate probes, so the
+        cost is A*M local-term evaluations instead of E*A*M FULL-density
+        walks.  Raises ValueError when a term's log-prob shape cannot be
+        aligned to the plate (caller falls back to the probe path)."""
+        e_n = int(np.prod(s0)) if s0 else 1
+        a_n = int(np.prod([cards[n] for n in scalars])) if scalars else 1
+        m_n = int(np.prod([cards[n] for n in plated])) if plated else 1
+        combos_a = self._combo_grid([cards[n] for n in scalars])
+        combos_m = self._combo_grid([cards[n] for n in plated])
+        grp_set = set(grp)
+        rel_scal = jnp.zeros((a_n,))
+        rel_elem = jnp.zeros((a_n, m_n, e_n))
+        for v2, deps in struct["terms"]:
+            d = deps & grp_set
+            if not d:
+                continue
+            if d <= set(scalars):
+                names, table = self._term_table(
+                    v2, deps, struct, store, base_vals, z, cards
+                )
+                idx = tuple(
+                    combos_a[:, scalars.index(n)] for n in names
+                )
+                vals_a = table[idx]  # [A]
+                rel_scal = rel_scal + (vals_a - table[(0,) * len(names)])
+            else:
+                fn = self._term_vec_fn(v2, struct, store, base_vals, z, s0)
+
+                def eval_am(av, mv, _fn=fn, _sc=scalars, _pl=plated,
+                            _s0=s0):
+                    assign = {n: av[j] for j, n in enumerate(_sc)}
+                    assign.update({
+                        n: jnp.full(_s0, mv[i], jnp.int32)
+                        for i, n in enumerate(_pl)
+                    })
+                    return _fn(assign)
+
+                aa = jnp.repeat(combos_a, m_n, axis=0)  # [A*M, S]
+                mm = jnp.tile(combos_m, (a_n, 1))  # [A*M, P]
+                vecs = jax.vmap(eval_am)(aa, mm).reshape(a_n, m_n, e_n)
+                rel_elem = rel_elem + (vecs - vecs[0, 0][None, None, :])
+        return rel_scal, rel_elem
+
     def group_enumerated_log_density(
         self, params, z: Dict[str, Array],
         given: Optional[Dict[str, Array]] = None,
         return_responsibilities: bool = False,
     ):
         """log p(z, data) with PLATED interacting discrete latents summed
-        out per element (ROADMAP r3 #7: factorized plates with
-        cross-plate interactions previously errored).
+        out per element (ROADMAP r3 #7), now from STRUCTURAL per-element
+        factor tables (VERDICT r3 missing #4) with probe-based
+        full-density evaluation only as fallback.
 
-        Latents partition into interaction groups (``_enum_groups``);
-        within a group all latents must share one plate shape and their
-        interactions must be ELEMENT-wise across the plate — writing
-        ``logp(z, d) = C(z) + sum_(g,e) f_ge(d_g[e], z)`` over groups g
-        and plate elements e (verified numerically by
-        ``check_group_factorization``), the marginal is
-        ``C + sum_(g,e) logsumexp_combos (lp_ge(combo) - base)`` from
-        one vmapped batch of E·prod(K_i) full-density evaluations per
-        group.  With ``return_responsibilities`` also returns per-latent
-        per-element posterior marginals ``{name: [*, K]}`` (other group
-        members summed out).
-        """
+        Latents partition into interaction groups (``_enum_groups``); a
+        group may mix SCALAR latents with plated ones sharing ONE plate
+        shape (mixed plate shapes previously refused).  Writing
+        ``logp(z, a, d) = C(z) + T(a, z) + sum_e f_e(a, d_e, z)`` over
+        the group's scalar joint assignment a and plate elements e
+        (verified numerically by ``check_group_factorization``), the
+        marginal is ``C + lse_a [ T(a) + sum_e lse_m f_e(a, m) ]``.
+        With ``return_responsibilities`` also returns per-latent
+        posterior marginals ``{name: [*, K]}`` (scalar latents: [K])."""
         given = dict(given or {})
         info = self.discrete_enum_info(params, given)
         shapes = {n: s for n, s, _k in info}
         cards = {n: k for n, _s, k in info}
         groups = self._enum_groups(frozenset(given.keys()))
+        struct = self._discrete_structure(frozenset(given.keys()))
+        store = self._as_store(params)
         ref = {n: jnp.zeros(s, jnp.int32) for n, s, _ in info}
+        lse = jax.scipy.special.logsumexp
+        base_vals, base_lp = self._walk_z(store, z, {**given, **ref})
 
-        def lp_with(assign):
-            return self.log_density_z(params, z, {**given, **ref, **assign})
-
-        base = lp_with({})
-        total = base
+        total = base_lp
         resp: Dict[str, Array] = {}
         for grp in groups:
-            s0 = shapes[grp[0]]
-            if any(shapes[n] != s0 for n in grp[1:]):
-                raise ValueError(
-                    f"interacting discrete latents {grp} have mixed plate "
-                    f"shapes; group enumeration needs one shared shape"
+            scalars, plated, s0 = self._group_layout(grp, shapes, cards)
+            try:
+                rel_scal, rel_elem = self._group_tables_structural(
+                    grp, scalars, plated, s0, struct, store, base_vals,
+                    z, cards
                 )
-            ks = [cards[n] for n in grp]
-            m = int(np.prod(ks))
-            if m > 256:
-                raise ValueError(
-                    f"discrete group {grp} has {m} joint states per "
-                    "element (cap 256); break the interaction or "
-                    "marginalize by hand"
-                )
-            n_elem = int(np.prod(s0)) if s0 else 1
-            grids = jnp.meshgrid(
-                *[jnp.arange(k, dtype=jnp.int32) for k in ks], indexing="ij"
-            )
-            combos = jnp.stack([g.ravel() for g in grids], axis=1)  # [M, G]
-
-            def one(e, combo, _grp=grp, _shapes=shapes):
-                assign = {
-                    n: ref[n].ravel().at[e].set(combo[i]).reshape(_shapes[n])
-                    for i, n in enumerate(_grp)
-                }
-                return lp_with(assign)
-
-            ee = jnp.repeat(jnp.arange(n_elem), m)
-            cc = jnp.tile(combos, (n_elem, 1))
-            lps = jax.vmap(one)(ee, cc).reshape(n_elem, m)  # [E, M]
-            rel = lps - base
-            total = total + jnp.sum(jax.scipy.special.logsumexp(rel, axis=1))
+            except ValueError:
+                if scalars:
+                    raise  # probe fallback covers shared-shape groups only
+                rel_elem = self._group_rel_probe(
+                    grp, s0, cards, ref, params, z, given, base_lp
+                )[None]  # [1, M, E] — A=1 layout
+                rel_scal = jnp.zeros((1,))
+            per_elem = lse(rel_elem, axis=1)  # [A, E]
+            w_log = rel_scal + jnp.sum(per_elem, axis=-1)  # [A]
+            total = total + lse(w_log)
             if return_responsibilities:
-                joint = jax.nn.softmax(rel, axis=1).reshape(
-                    (n_elem,) + tuple(ks)
-                )
-                for i, n in enumerate(grp):
-                    axes = tuple(
-                        1 + j for j in range(len(grp)) if j != i
-                    )
-                    marg = jnp.sum(joint, axis=axes) if axes else joint
+                p_a = jax.nn.softmax(w_log)  # [A]
+                p_me = jax.nn.softmax(rel_elem, axis=1)  # [A, M, E]
+                combos_a = self._combo_grid([cards[n] for n in scalars])
+                combos_m = self._combo_grid([cards[n] for n in plated])
+                for i, n in enumerate(plated):
+                    onehot = jax.nn.one_hot(combos_m[:, i], cards[n])
+                    marg = jnp.einsum("a,ame,mk->ek", p_a, p_me, onehot)
                     resp[n] = marg.reshape(s0 + (cards[n],))
+                for j, n in enumerate(scalars):
+                    onehot = jax.nn.one_hot(combos_a[:, j], cards[n])
+                    resp[n] = p_a @ onehot  # [K]
         if return_responsibilities:
             return total, resp
         return total
+
+    def _group_rel_probe(self, grp, s0, cards, ref, params, z, given,
+                         base):
+        """Probe-based per-element relative table [M, E]: one vmapped
+        batch of E*prod(K) FULL-density evaluations (the pre-r4 path;
+        kept as fallback for terms whose log-prob shape the structural
+        extractor cannot align to the plate)."""
+        def lp_with(assign):
+            return self.log_density_z(params, z, {**given, **ref, **assign})
+
+        ks = [cards[n] for n in grp]
+        m = int(np.prod(ks))
+        n_elem = int(np.prod(s0)) if s0 else 1
+        combos = self._combo_grid(ks)
+
+        def one(e, combo, _grp=grp):
+            assign = {
+                n: ref[n].ravel().at[e].set(combo[i]).reshape(s0)
+                for i, n in enumerate(_grp)
+            }
+            return lp_with(assign)
+
+        ee = jnp.repeat(jnp.arange(n_elem), m)
+        cc = jnp.tile(combos, (n_elem, 1))
+        lps = jax.vmap(one)(ee, cc).reshape(n_elem, m)  # [E, M]
+        return (lps - base).T  # [M, E]
 
     def check_group_factorization(self, params, given=None, atol=1e-3) -> bool:
         """True when every discrete interaction group's joint term is
@@ -1021,12 +1115,12 @@ class CompiledModel:
         shapes = {n: s for n, s, _k in info}
         cards = {n: k for n, _s, k in info}
         groups = self._enum_groups(frozenset(given.keys()))
-        for grp in groups:
-            s0 = shapes[grp[0]]
-            if any(shapes[n] != s0 for n in grp[1:]):
-                return False
-            if int(np.prod([cards[n] for n in grp])) > 256:
-                return False
+        layouts = {}
+        try:
+            for grp in groups:
+                layouts[grp] = self._group_layout(grp, shapes, cards)
+        except ValueError:
+            return False
         rng = np.random.RandomState(0)
         ref = {n: jnp.zeros(s, jnp.int32) for n, s, _ in info}
         # probe at SEVERAL independent z draws (ADVICE r3 #4: a coupling
@@ -1054,20 +1148,31 @@ class CompiledModel:
                 for _ in range(2)
             ]
             for d_star in probes:
+                # additivity is across PLATE ELEMENTS at a FIXED joint
+                # scalar assignment (mixed groups: the scalar part is
+                # enumerated jointly, so no additivity is assumed over
+                # it): lp(a*, m*) - lp(a*, ref_m) must equal the sum of
+                # single-element deviations from lp(a*, ref_m)
                 joint = float(lp_with(d_star))
+                scalar_part = {
+                    n: d_star[n]
+                    for grp in groups for n in layouts[grp][0]
+                }
+                base_a = float(lp_with(scalar_part))
                 total = 0.0
                 for grp in groups:
-                    s0 = shapes[grp[0]]
+                    _scalars, plated, s0 = layouts[grp]
                     n_elem = int(np.prod(s0)) if s0 else 1
                     for e in range(n_elem):
-                        assign = {
+                        assign = dict(scalar_part)
+                        assign.update({
                             n: ref[n].ravel().at[e].set(
                                 d_star[n].ravel()[e]
                             ).reshape(s0)
-                            for n in grp
-                        }
-                        total += float(lp_with(assign)) - base
-                if abs((joint - base) - total) > atol * max(1.0, abs(joint)):
+                            for n in plated
+                        })
+                        total += float(lp_with(assign)) - base_a
+                if abs((joint - base_a) - total) > atol * max(1.0, abs(joint)):
                     return False
         return True
 
@@ -1078,12 +1183,13 @@ class CompiledModel:
         set when params is initial_params — VERDICT r2 weak #6 / ADVICE
         r2 #1: repeated sample() calls must not re-probe).
 
-        Order: element-wise logsumexp (independent latents, incl. vector
-        plates) → forward algorithm on structural chain factors → general
-        variable elimination (any scalar-latent interaction graph) →
-        numerically verified chain (legacy fallback) → per-element group
-        enumeration (plated latents with element-wise cross-plate
-        interactions, ROADMAP r3 #7)."""
+        Order: MarkovSeries sequence nodes (forward algorithm, trace
+        O(1) in T — VERDICT r3 #3) → element-wise logsumexp (independent
+        latents, incl. vector plates) → forward algorithm on structural
+        chain factors → general variable elimination (any scalar-latent
+        interaction graph) → numerically verified chain (legacy
+        fallback) → per-element group enumeration (plated latents with
+        element-wise cross-plate interactions, ROADMAP r3 #7)."""
         given = dict(given or {})
         gk = frozenset(given.keys())
         cacheable = params is self.initial_params
@@ -1093,7 +1199,16 @@ class CompiledModel:
             self._enum_fn_cache = cache
         if cacheable and gk in cache:
             return cache[gk]
-        if self.check_enum_factorization(params, given):
+        if self._sequence_chain_info(params, given) is not None:
+            if not self.check_sequence_factorization(params, given):
+                raise ValueError(
+                    "MarkovSeries discrete chain does not factorize: "
+                    "emission terms must be element-wise across the "
+                    "chain's time axis (cross-timestep coupling, e.g. a "
+                    "matmul over the series, is not enumerable)"
+                )
+            fn = self.sequence_enumerated_log_density
+        elif self.check_enum_factorization(params, given):
             fn = self.enumerated_log_density
         elif (self.discrete_chain_info(params, given) is not None
               and self.discrete_chain_structure(gk) is not None):
@@ -1336,6 +1451,350 @@ class CompiledModel:
                 if abs(actual - pred) > atol * max(1.0, abs(actual)):
                     return False
         return True
+
+    # ------------------------------------------------------------------
+    # Sequence-node enumeration (VERDICT r3 missing #3 / ROADMAP #6).
+    #
+    # The scalable DSL idiom for long discrete chains is ONE plated
+    # MarkovProcess node (stochastic_processes.MarkovSeries with a
+    # discrete transition family), not T scalar nodes: an unrolled
+    # T-node DSL graph inherently traces O(T) (the base density walk
+    # alone is a Python loop over T nodes), so no table-building trick
+    # can make ITS compile time T-independent.  For the sequence node,
+    # table extraction is O(K^2) vectorized evaluations + one forward
+    # `lax.scan` — trace time independent of T, T=10^4+ compiles O(1)
+    # (scripts/exp_enum_sequence.py measures it; the marginal matches
+    # the unrolled chain path exactly at small T in
+    # tests/test_discrete_latents.py).
+    # ------------------------------------------------------------------
+    def _sequence_chain_info(self, params, given=None):
+        """[(name, T, K)] when every un-conditioned discrete latent is a
+        MarkovSeries chain with an enumerable (Bernoulli/Categorical)
+        transition family; None otherwise.  Cached per key set when
+        params is initial_params."""
+        from .distributions import Bernoulli, Categorical
+        from .stochastic_processes import MarkovSeries
+
+        given = given or {}
+        gk = frozenset(given.keys())
+        cacheable = params is self.initial_params
+        cache = getattr(self, "_seq_info_cache", None)
+        if cache is None:
+            cache = {}
+            self._seq_info_cache = cache
+        if cacheable and gk in cache:
+            return cache[gk]
+
+        names = [n for n in self.discrete_latent_names if n not in given]
+        out = []
+        store = self._as_store(params)
+        base_vals, _ = None, None
+        for n in names:
+            v = next(w for w in self.order if w.name == n)
+            dist = v.distribution
+            if not isinstance(dist, MarkovSeries):
+                out = None
+                break
+            if getattr(v, "log_prob_mask", None) is not None:
+                out = None
+                break
+            td = dist.transition_dist
+            if isinstance(td, Bernoulli):
+                k = 2
+            elif isinstance(td, Categorical):
+                if base_vals is None:
+                    base_vals, _ = self._walk_sample(
+                        store, jax.random.PRNGKey(0), dict(given)
+                    )
+                p = self._expand_plate(v, v.eval_params(base_vals, store))
+                _ip, tp = dist._split_params(p)
+                probe = dist.transition_fn(jnp.zeros((), jnp.int32), **tp)
+                lg = probe.get("logits", probe.get("probs"))
+                k = int(jnp.shape(lg)[-1])
+            else:
+                out = None
+                break
+            out.append((n, dist.length, k))
+        result = out if out else None
+        if cacheable:
+            cache[gk] = result
+        return result
+
+    def _sequence_chain_tables(self, v, p, t_len, k):
+        """(init_lp [K], psi [T-1, K, K]) log-tables of a MarkovSeries
+        chain's own prior, each from ONE vectorized evaluation (O(K^2)
+        trace cost, independent of T; time-varying transition links
+        vectorize over the time axis exactly as MarkovSeries.log_prob
+        does).  log_prob_scale is folded in."""
+        dist = v.distribution
+        init_p, trans_p = dist._split_params(p)
+        scale = v.log_prob_scale
+        ks = jnp.arange(k, dtype=jnp.int32)
+        init_lp = jax.vmap(
+            lambda kv: sum_all(dist.init_dist.log_prob(kv, **init_p))
+        )(ks)  # [K]
+        prev_t = jnp.ones((t_len - 1,), jnp.int32)
+
+        def psi_jk(j, kv, _tp=trans_p, _d=dist, _prev=prev_t):
+            pj = _d.transition_fn(_prev * j, **_tp)
+            lp = _d.transition_dist.log_prob(_prev * kv, **pj)
+            return jnp.broadcast_to(lp, (t_len - 1,))
+
+        jj = jnp.repeat(ks, k)
+        kk = jnp.tile(ks, k)
+        psi = jax.vmap(psi_jk)(jj, kk)  # [K*K, T-1]
+        psi = jnp.moveaxis(psi.reshape(k, k, t_len - 1), 2, 0)  # [T-1,K,K]
+        if scale != 1.0:
+            init_lp = scale * init_lp
+            psi = scale * psi
+        return init_lp, psi
+
+    def _elementwise_term_vec(self, v2, chain_name, struct, store,
+                              base_vals, z, t_len):
+        """Per-element log-prob VECTOR [T] of RV ``v2``'s term as a
+        function of the chain value: the per-t columns of the forward
+        algorithm's U table (specialization of ``_term_vec_fn`` to one
+        chain latent and a flat time axis)."""
+        fn = self._term_vec_fn(v2, struct, store, base_vals, z, (t_len,))
+        return lambda d_full: fn({chain_name: d_full})
+
+    def _term_vec_fn(self, v2, struct, store, base_vals, z, plate_shape):
+        """Per-element log-prob vector of RV ``v2``'s term as a function
+        of a {latent_name: full value} assignment dict, mirroring
+        ``_term_table.term`` but WITHOUT the plate sum: returns the
+        raveled ``[prod(plate_shape)]`` element vector.  Trailing event
+        axes beyond the plate are summed; a term whose log-prob shape
+        cannot be aligned to the plate raises ValueError (callers fall
+        back to probe-based evaluation)."""
+        needed = struct["recompute"][v2.name]
+        vdeps = struct["value_deps"][v2.name]
+        n_elem = int(np.prod(plate_shape)) if plate_shape else 1
+
+        def term_vec(assign):
+            vals = dict(base_vals)
+            vals.update(assign)
+            for w in needed:
+                if w.name in assign:
+                    continue
+                if isinstance(w, DeterministicVariable):
+                    vals[w.name] = w.compute(vals, store)
+                elif isinstance(w, RandomVariable) and w.is_observed:
+                    vals[w.name] = self._observed_value(w, vals, store)
+                else:
+                    pw = self._expand_plate(w, w.eval_params(vals, store))
+                    tr = transform_for(w.distribution, pw)
+                    vals[w.name] = tr.forward(z[w.name])
+            p = self._expand_plate(v2, v2.eval_params(vals, store))
+            if v2.name in assign:
+                value = assign[v2.name]
+            elif vdeps & set(assign):
+                if v2.is_observed:
+                    value = self._observed_value(v2, vals, store)
+                else:
+                    tr = transform_for(v2.distribution, p)
+                    value = tr.forward(z[v2.name])
+            else:
+                value = base_vals[v2.name]
+            lp = v2.distribution.log_prob(value, **p)
+            mask = getattr(v2, "log_prob_mask", None)
+            if mask is not None:
+                lp = lp * mask
+            if v2.log_prob_scale != 1.0:
+                lp = v2.log_prob_scale * lp
+            shp = tuple(jnp.shape(lp))
+            ps = tuple(plate_shape)
+            if shp == ps:
+                return lp.reshape(n_elem)
+            if shp[: len(ps)] == ps:
+                extra = tuple(range(len(ps), len(shp)))
+                return jnp.sum(lp, axis=extra).reshape(n_elem)
+            raise ValueError(
+                f"term {v2.name!r} has per-element shape {shp}, not "
+                f"alignable to plate {ps}"
+            )
+
+        return term_vec
+
+    def sequence_enumerated_log_density(
+        self, params, z: Dict[str, Array],
+        given: Optional[Dict[str, Array]] = None,
+        return_marginals: bool = False,
+    ):
+        """log p(z, data) with MarkovSeries discrete chains summed out by
+        the forward algorithm — tables built with O(K^2) VECTORIZED
+        evaluations (not O(T) per-step walks), so trace/compile time is
+        independent of T.  Emission terms must be element-wise across the
+        chain's time axis (verified by ``check_sequence_factorization``).
+        With ``return_marginals`` also returns ``{name: [T, K]}``
+        forward-backward posterior marginals."""
+        given = dict(given or {})
+        info = self._sequence_chain_info(params, given)
+        if not info:
+            raise ValueError(
+                "sequence enumeration needs every discrete latent to be "
+                "a MarkovSeries chain with a Bernoulli/Categorical "
+                "transition family"
+            )
+        struct = self._discrete_structure(frozenset(given.keys()))
+        name_set = {n for n, _t, _k in info}
+        for _v, deps in struct["terms"]:
+            if len(deps & name_set) > 1:
+                raise ValueError(
+                    f"term {_v.name!r} couples chains {sorted(deps)}; "
+                    "sequence enumeration handles independent chains"
+                )
+        store = self._as_store(params)
+        ref = {n: jnp.zeros((t,), jnp.int32) for n, t, _k in info}
+        base_vals, base_lp = self._walk_z(store, z, {**given, **ref})
+        lse = jax.scipy.special.logsumexp
+
+        total = base_lp
+        marginals: Dict[str, Array] = {}
+        for chain_name, t_len, k in info:
+            v = next(w for w in self.order if w.name == chain_name)
+            dist = v.distribution
+            p = self._expand_plate(v, v.eval_params(base_vals, store))
+            init_lp, psi = self._sequence_chain_tables(v, p, t_len, k)
+            ks = jnp.arange(k, dtype=jnp.int32)
+            # remove the reference chain term folded into base_lp
+            total = total - self._rv_log_prob(v, ref[chain_name], p)
+
+            # emission tables: U[t, k] from one vmap-over-K per term
+            u = jnp.zeros((t_len, k))
+            for v2, deps in struct["terms"]:
+                if chain_name not in deps or v2.name == chain_name:
+                    continue
+                term_vec = self._elementwise_term_vec(
+                    v2, chain_name, struct, store, base_vals, z, t_len
+                )
+                vecs = jax.vmap(
+                    lambda kv, _f=term_vec, _t=t_len: _f(
+                        jnp.full((_t,), kv, jnp.int32)
+                    )
+                )(ks)  # [K, T]
+                u = u + vecs.T
+                total = total - jnp.sum(vecs[0])  # base contribution
+
+            def fstep(alpha, xs):
+                psi_t, u_t = xs
+                alpha = lse(alpha[:, None] + psi_t, axis=0) + u_t
+                return alpha, alpha
+
+            alpha0 = init_lp + u[0]
+            alpha_last, alphas = jax.lax.scan(fstep, alpha0, (psi, u[1:]))
+            total = total + lse(alpha_last)
+            if return_marginals:
+                def bstep(beta, xs):
+                    psi_t, u_t = xs
+                    return lse(psi_t + (u_t + beta)[None, :], axis=1), None
+
+                def bstep_collect(beta, xs):
+                    psi_t, u_t = xs
+                    nb = lse(psi_t + (u_t + beta)[None, :], axis=1)
+                    return nb, nb
+
+                _, betas_rev = jax.lax.scan(
+                    bstep_collect, jnp.zeros((k,)),
+                    (psi[::-1], u[1:][::-1]),
+                )
+                betas = jnp.concatenate(
+                    [betas_rev[::-1], jnp.zeros((1, k))], axis=0
+                )
+                log_alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+                marginals[chain_name] = jax.nn.softmax(
+                    log_alphas + betas, axis=1
+                )
+        if return_marginals:
+            return total, marginals
+        return total
+
+    def check_sequence_factorization(self, params, given=None,
+                                     atol=1e-3) -> bool:
+        """Verify the sequence decomposition numerically: the direct
+        density at random full chain assignments must equal the
+        table-decomposed value (catches non-element-wise emissions,
+        e.g. a matmul coupling timesteps, and chain-valued transition
+        parameters).  Verdict cached per conditioning-key set."""
+        given = dict(given or {})
+        gk = frozenset(given.keys())
+        cacheable = params is self.initial_params
+        cache = getattr(self, "_seq_verdict_cache", None)
+        if cache is None:
+            cache = {}
+            self._seq_verdict_cache = cache
+        if cacheable and gk in cache:
+            return cache[gk]
+        verdict = self._check_sequence_factorization_impl(params, given, atol)
+        if cacheable:
+            cache[gk] = verdict
+        return verdict
+
+    def _check_sequence_factorization_impl(self, params, given, atol) -> bool:
+        info = self._sequence_chain_info(params, given)
+        if not info:
+            return False
+        rng = np.random.RandomState(0)
+        for _trial in range(2):
+            z = {n: jnp.asarray(rng.normal(0, 0.7, s).astype(np.float32))
+                 for n, s in self.z_shapes.items()}
+            d_star = {
+                n: jnp.asarray(rng.randint(0, k, (t,)), jnp.int32)
+                for n, t, k in info
+            }
+            try:
+                direct = float(
+                    self.log_density_z(params, z, {**given, **d_star})
+                )
+                decomposed = float(self._sequence_decomposed_at(
+                    params, z, given, d_star
+                ))
+            except Exception:
+                return False
+            if abs(direct - decomposed) > atol * max(1.0, abs(direct)):
+                return False
+        return True
+
+    def _sequence_decomposed_at(self, params, z, given, d_star):
+        """The table-decomposed density evaluated AT a full assignment
+        (probe for the factorization check): const + init + transition +
+        emission table lookups."""
+        given = dict(given or {})
+        info = self._sequence_chain_info(params, given)
+        struct = self._discrete_structure(frozenset(given.keys()))
+        store = self._as_store(params)
+        ref = {n: jnp.zeros((t,), jnp.int32) for n, t, _k in info}
+        base_vals, base_lp = self._walk_z(store, z, {**given, **ref})
+        total = base_lp
+        for chain_name, t_len, k in info:
+            v = next(w for w in self.order if w.name == chain_name)
+            p = self._expand_plate(v, v.eval_params(base_vals, store))
+            d = d_star[chain_name]
+            total = total - self._rv_log_prob(v, ref[chain_name], p)
+            # the SAME tables the enumeration uses, looked up at d: the
+            # probe therefore validates table construction too
+            init_lp, psi = self._sequence_chain_tables(v, p, t_len, k)
+            total = total + init_lp[d[0]] + jnp.sum(
+                psi[jnp.arange(t_len - 1), d[:-1], d[1:]]
+            )
+            for v2, deps in struct["terms"]:
+                if chain_name not in deps or v2.name == chain_name:
+                    continue
+                term_vec = self._elementwise_term_vec(
+                    v2, chain_name, struct, store, base_vals, z, t_len
+                )
+                # per-element: U[t, d_t] via gathering one evaluation per
+                # state (small K; probe-time only)
+                ks = jnp.arange(k, dtype=jnp.int32)
+                vecs = jax.vmap(
+                    lambda kv, _f=term_vec, _t=t_len: _f(
+                        jnp.full((_t,), kv, jnp.int32)
+                    )
+                )(ks)  # [K, T]
+                total = total - jnp.sum(vecs[0])
+                total = total + jnp.sum(
+                    jnp.take_along_axis(vecs.T, d[:, None], axis=1)
+                )
+        return total
 
     def constrain(self, params, z: Dict[str, Array], given: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
         """Map unconstrained latents ``z`` to constrained values for every

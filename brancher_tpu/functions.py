@@ -139,6 +139,7 @@ maximum = _lift(jnp.maximum, "maximum")
 minimum = _lift(jnp.minimum, "minimum")
 take = _lift(jnp.take, "take")
 one_hot = _lift(jax.nn.one_hot, "one_hot")
+cumsum = _lift(jnp.cumsum, "cumsum")
 
 
 def cat(links, axis=0):

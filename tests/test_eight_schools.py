@@ -12,6 +12,9 @@ from brancher_tpu import (
     ProbabilisticModel,
 )
 from brancher_tpu.inference import NUTS, sample
+import pytest
+
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
 
 
 def build():

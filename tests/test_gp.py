@@ -8,6 +8,8 @@ from brancher_tpu import NormalVariable, ProbabilisticModel, LogNormalVariable
 from brancher_tpu.stochastic_processes import GaussianProcess, rbf_kernel
 from brancher_tpu.inference import NUTS, sample
 
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
+
 
 def test_gp_prior_covariance(key):
     xs = np.linspace(0, 1, 10).astype(np.float32)

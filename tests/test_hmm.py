@@ -1,5 +1,8 @@
 """Marginalized Gaussian HMM: forward-algorithm exactness, NUTS over
 emission parameters, forward-backward decoding."""
+import pytest
+
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
 import itertools
 
 import jax
@@ -9,6 +12,7 @@ import numpy as np
 from brancher_tpu import NormalVariable, ProbabilisticModel
 from brancher_tpu.inference import NUTS, sample
 from brancher_tpu.stochastic_processes import (
+
     GaussianHMM, HMMVariable, hmm_posterior_marginals,
 )
 

@@ -12,6 +12,8 @@ from brancher_tpu.models.logistic_regression import (
 from brancher_tpu.models.vae import VAEConfig, make_vae_data, vae_model
 from brancher_tpu.inference import perform_inference, sample, NUTS
 
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
+
 
 def test_minibatch_scaling_is_unbiased(key):
     """E[minibatch log-lik * N/B] must equal the full-data log-lik."""

@@ -1,10 +1,14 @@
 """Generalized fused GLM potentials: kernel parity (interpret mode) and
 the numeric recognizer's exactness guarantees (VERDICT r1 next-round #3)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from brancher_tpu.ops.pallas_glm import (
+
     bernoulli_vg_pallas,
     bernoulli_vg_reference,
     normal_vg_pallas,

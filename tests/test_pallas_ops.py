@@ -37,6 +37,7 @@ def test_custom_vjp_grad(key):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_hmc_matches_nuts_posterior(key):
     """Batched HMC on logreg must agree with the general NUTS engine."""
     from brancher_tpu.models.logistic_regression import logistic_regression_model

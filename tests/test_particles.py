@@ -10,6 +10,9 @@ from brancher_tpu.inference.svi import (
     WassersteinVariationalGradientDescent,
 )
 from brancher_tpu.inference.particle_inference_tools import VoronoiSet
+import pytest
+
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
 
 
 def test_wvgd_matches_conjugate(key):

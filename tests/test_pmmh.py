@@ -1,4 +1,7 @@
 """Particle-marginal MH: parameter inference in SSMs (ROADMAP r1 #8)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +9,7 @@ import numpy as np
 from brancher_tpu.inference.pmmh import pmmh_sample
 from brancher_tpu.inference.smc import StateSpace
 from brancher_tpu.models.state_space import (
+
     LGSSMParams, kalman_filter, make_lgssm_data, lgssm_state_space,
 )
 

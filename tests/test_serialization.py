@@ -1,4 +1,6 @@
 """Model serialization round-trip (VERDICT r1 missing #6)."""
+import pytest
+
 import json
 import os
 
@@ -21,6 +23,7 @@ def _build():
     return ProbabilisticModel([x])
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path, key):
     model = _build()
     lp_before = np.asarray(

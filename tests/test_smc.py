@@ -12,6 +12,7 @@ from brancher_tpu.models.state_space import (
     make_lgssm_data,
 )
 from brancher_tpu.inference.smc import smc_sample, systematic_resample_indices
+import pytest
 
 
 def test_systematic_resampling_unbiased(key):
@@ -166,6 +167,7 @@ def test_streaming_filter_matches_batch_and_kalman(key):
     assert rmse_s < rmse_f  # lag-16 smoothing strictly improves
 
 
+@pytest.mark.slow
 def test_streaming_filter_sharded_matches_kalman(key):
     """Sharded streaming filter (ROADMAP r3 #5): particles shard over the
     fake 8-device mesh while streaming in chunks; the fixed-lag ancestry
@@ -194,6 +196,7 @@ def test_streaming_filter_sharded_matches_kalman(key):
     assert rmse_s < rmse_f
 
 
+@pytest.mark.slow
 def test_streaming_filter_1e5_constant_memory(key):
     """T=100k streaming run: device-side carry stays O(lag * particles)
     (VERDICT r2 missing #5 'done' criterion), and the means match the
@@ -231,6 +234,7 @@ def test_streaming_filter_1e5_constant_memory(key):
     assert np.quantile(diff, 0.99) < 0.3, np.quantile(diff, 0.99)
 
 
+@pytest.mark.slow
 def test_streaming_checkpoint_resume_bit_identical(key):
     """VERDICT r3 weak #6 / #8: the stream RNG lives in StreamingState,
     so checkpointing the carry mid-series and resuming — in a FRESH

@@ -5,6 +5,9 @@ import scipy.stats as st
 
 from brancher_tpu.inference.tempered_smc import smc_posterior_sample
 from brancher_tpu.models.conjugate import conjugate_normal_model
+import pytest
+
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
 
 
 def test_tempered_smc_conjugate(key):

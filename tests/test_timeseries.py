@@ -56,6 +56,7 @@ def test_markov_process_generic(key):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_ar1_nuts_recovers_parameters(key):
     data = make_ar_data(length=400, coeffs=(0.7,), noise=0.3, seed=0)
     model = ar_model(data, order=1)
@@ -68,6 +69,7 @@ def test_ar1_nuts_recovers_parameters(key):
     assert int(res.diagnostics["num_divergences"]) == 0
 
 
+@pytest.mark.slow
 def test_observe_timeseries_missing_data(key):
     """AR(1) inference with NaN gaps: masked terms drop out, parameters
     are still recovered from the observed stretches (ROADMAP r1 #12)."""

@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # VERDICT r3 weak #8: fast gate runs -m 'not slow'
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 TUT = os.path.join(os.path.dirname(HERE), "tutorials")
 
