@@ -1,35 +1,44 @@
-"""Headline benchmark: NUTS effective-samples/sec on Bayesian logistic
-regression (BASELINE.json metric: "effective samples/sec/chip (NUTS)").
+"""Headline benchmark: NUTS effective-samples/sec on a hierarchical ARD
+Bayesian logistic regression (BASELINE.json metric: "effective
+samples/sec/chip (NUTS)").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Structure (round 3): the parent process never touches JAX.  It measures
-the PyTorch eager-CPU oracle first (the reference's execution substrate,
-SURVEY.md §0/§6; the reference publishes no numbers so the baseline is
-MEASURED), then launches ALL TPU measurement children CONCURRENTLY:
+Headline promotion (round 4, VERDICT r3 #2): the parsed headline is the
+UNSATURATED measurement — hierarchical ARD logreg (non-centered
+w = tau * w_raw via NonCenteredNormalVariable, VERDICT r3 #9; 0
+divergences at target_accept=0.95, min-ESS genuinely below the
+chains*draws cap) — so the number can register round-over-round
+sampler-efficiency progress.  The old plain-logreg headline SATURATES
+its ESS cap (min_ess = chains*draws three rounds running; its value
+only moves with timing noise) and is kept as the `floor_*` companion:
+r3 floor = 3,858,193 ess/sec (323.7x oracle).
 
-  1. "nuts"  — vectorized NUTS + fused XLA potential (the headline)
-  2. "vae"   — amortized-SVI ELBO steps/sec (VERDICT r2 #1)
-  3. "unsat" — hierarchical ARD logreg whose min-ESS sits genuinely
-               below the chains*draws cap (VERDICT r2 #2)
-  4. "chees" — a small-program headline fallback: launched immediately
-               if the nuts child crashes, or as late insurance at
-               deadline-170s if nuts is still compiling (the compile
-               cache is a small laggy LRU, so nuts is a per-run coin
-               flip between ~30 s and 300-700 s; nuts stays preferred
-               until deadline-45s)
+Structure: the parent process never touches JAX.  It measures BOTH
+PyTorch eager-CPU oracles first (the reference's execution substrate,
+SURVEY.md §0/§6; the reference publishes no numbers so the baseline is
+MEASURED, on an otherwise-idle host), then launches ALL TPU measurement
+children CONCURRENTLY:
+
+  1. "ard"   — vectorized NUTS, non-centered ARD logreg (THE HEADLINE)
+  2. "floor" — vectorized NUTS + fused XLA potential on plain logreg
+               (the saturated floor companion; also the headline
+               fallback if the ard child crashes or misses the budget)
+  3. "vae"   — amortized-SVI ELBO steps/sec (VERDICT r2 #1)
+  4. "chees" — small-program last-resort fallback, launched only when
+               both ard and floor have crashed (or floor crashed and
+               ard is still compiling near the deadline)
 
 Children spend ~95% of their wall time waiting on the remote compile
 service with the chip idle; concurrent large compiles contend by a
 measured ~1.4x factor but still complete in ~max(compile) x 1.4 rather
-than sum-of-compiles (~20 min cold).  The primary
-JSON line prints IMMEDIATELY when the first headline engine lands —
-before any secondary metric — so a late hang can never destroy the
-result; an enriched copy (same headline numbers plus elbo_steps_per_sec
-/ unsat_* keys) prints at the very end.  Diagnostics (ESS) run on host
-numpy (not XLA) since round 2.  Every timed measurement is the best of
-3 executions of one device-atomic XLA program, so concurrent children
-cannot inflate each other's numbers via queueing delay.
+than sum-of-compiles (~20 min cold).  The primary JSON line prints
+IMMEDIATELY when the headline (or its fallback) lands — before any
+secondary metric — so a late hang can never destroy the result; an
+enriched copy (same headline numbers plus floor_* / elbo_* keys) prints
+at the very end.  Every timed measurement is the best of 3 executions
+of one device-atomic XLA program, so concurrent children cannot inflate
+each other's numbers via queueing delay.
 
 vs_baseline: the oracle is charged for the same leapfrog trajectory the
 sampler actually executed (chains batched into one eager matmul per step,
@@ -47,15 +56,18 @@ N_POINTS, DIM = 1000, 32
 CHAINS, WARMUP, DRAWS = 1024, 500, 1000
 MAX_DEPTH = 8
 
-# Unsaturated companion config (VERDICT r2 #2): hierarchical ARD logreg
-# (w_j ~ N(0, tau_j), tau_j lognormal) with WEAK data — genuinely
-# autocorrelated NUTS draws (min-ESS ≈ 0.5 × chains*draws measured on
-# CPU prototypes, scripts/exp_unsat_config.py), so the metric can
-# register sampler-efficiency progress that the saturated headline is
-# blind to.  Plain logreg at the headline shape is simply too easy:
-# every tested variant (collinear designs to rho=0.9999, scale spreads,
+# Headline config (round 4, VERDICT r3 #2 + #9): hierarchical ARD logreg
+# (w = tau * w_raw NON-CENTERED, tau_j lognormal) with WEAK data —
+# genuinely autocorrelated NUTS draws (min-ESS ≈ 0.42 × chains*draws
+# over {w, tau} measured on CPU prototypes,
+# scripts/exp_noncentered_ard.py) at ZERO divergences
+# (target_accept=0.95; the centered variant diverged 468 times at 0.9
+# in BENCH_r03 — funnel geometry), so the metric can register
+# sampler-efficiency progress that the saturated plain-logreg floor is
+# blind to.  Plain logreg at the floor shape is simply too easy: every
+# tested variant (collinear designs to rho=0.9999, scale spreads,
 # N=1000 hierarchies) still decorrelated fully within depth-8 trees.
-UNSAT_N, UNSAT_TAU_SD, UNSAT_TARGET_ACCEPT = 100, 0.75, 0.9
+UNSAT_N, UNSAT_TAU_SD, UNSAT_TARGET_ACCEPT = 100, 0.75, 0.95
 
 
 def log(*a):
@@ -131,11 +143,13 @@ def child(engine: str) -> None:
     print(json.dumps(out), flush=True)
 
 
-def child_unsat() -> None:
-    """Unsaturated companion measurement: hierarchical ARD logreg at the
-    same 1024x1000 chain/draw shape.  min-ESS genuinely < the
-    chains*draws cap here, so round-over-round sampler-efficiency
-    progress is measurable (VERDICT r2 #2)."""
+def child_ard() -> None:
+    """THE HEADLINE: hierarchical ARD logreg, NON-CENTERED (w = tau *
+    w_raw via NonCenteredNormalVariable — VERDICT r3 #9), at the same
+    1024x1000 chain/draw shape.  min-ESS over {w, tau} genuinely < the
+    chains*draws cap (≈0.42x on CPU prototypes), 0 divergences at
+    target_accept=0.95, so round-over-round sampler-efficiency progress
+    is measurable (VERDICT r3 #2)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -145,7 +159,7 @@ def child_unsat() -> None:
 
     import brancher_tpu.functions as BF
     from brancher_tpu import (
-        BernoulliVariable, LogNormalVariable, NormalVariable,
+        BernoulliVariable, LogNormalVariable, NonCenteredNormalVariable,
         ProbabilisticModel,
     )
     from brancher_tpu.models.logistic_regression import make_logreg_data
@@ -153,17 +167,18 @@ def child_unsat() -> None:
 
     x, y, _ = make_logreg_data(num_points=UNSAT_N, dim=DIM, seed=0)
     tau = LogNormalVariable(jnp.zeros(DIM), UNSAT_TAU_SD * jnp.ones(DIM), "tau")
-    w = NormalVariable(jnp.zeros(DIM), tau, "w")
+    w = NonCenteredNormalVariable(0.0, tau, name="w", shape=(DIM,))
     yv = BernoulliVariable(logits=BF.matmul(jnp.asarray(x), w), name="y")
     yv.observe(jnp.asarray(y))
     model = ProbabilisticModel([yv])
 
-    # hand-fused analytic value+grad of the ARD z-density, numerically
-    # VERIFIED against the autodiff walk below before being trusted.
-    # Shrinks the compiled NUTS program (the autodiff-walk variant
-    # cold-compiled in 754 s on 2026-08-20; this one is headline-class)
-    # and speeds every leapfrog.  z layout (ravel_pytree sorted keys):
-    # [:DIM] = tau's unconstrained v = log tau, [DIM:] = w.
+    # hand-fused analytic value+grad of the non-centered ARD z-density,
+    # numerically VERIFIED against the autodiff walk below before being
+    # trusted.  Shrinks the compiled NUTS program (the autodiff-walk
+    # variant cold-compiled in 754 s on 2026-08-20; this one is
+    # headline-class) and speeds every leapfrog.  z layout (ravel_pytree
+    # sorted keys): [:DIM] = tau's unconstrained v = log tau,
+    # [DIM:] = w_raw.
     import jax.flatten_util
 
     xj = jnp.asarray(x)
@@ -171,15 +186,17 @@ def child_unsat() -> None:
     sd2 = UNSAT_TAU_SD ** 2
 
     def fused(zc):
-        v, w_ = zc[:, :DIM], zc[:, DIM:]
+        v, wr = zc[:, :DIM], zc[:, DIM:]
+        tau_ = jnp.exp(v)
+        w_ = wr * tau_
         logits = w_ @ xj.T
         ll = jnp.sum(yj[None, :] * logits - jax.nn.softplus(logits), -1)
-        e2 = jnp.exp(-2.0 * v)
-        val = (ll - 0.5 * jnp.sum(v * v, -1) / sd2 - jnp.sum(v, -1)
-               - 0.5 * jnp.sum(w_ * w_ * e2, -1))
+        val = (ll - 0.5 * jnp.sum(v * v, -1) / sd2
+               - 0.5 * jnp.sum(wr * wr, -1))
         resid = yj[None, :] - jax.nn.sigmoid(logits)
-        gw = resid @ xj - w_ * e2
-        gv = -v / sd2 - 1.0 + w_ * w_ * e2
+        s = resid @ xj
+        gw = s * tau_ - wr
+        gv = s * wr * tau_ - v / sd2
         return val, jnp.concatenate([gv, gw], -1)
 
     comp = model.compiled()
@@ -193,7 +210,7 @@ def child_unsat() -> None:
     const_ok = float(jnp.std(vf - va)) < 1e-2
     grad_ok = bool(jnp.all(jnp.abs(gf - ga) <= 2e-3 * (1.0 + jnp.abs(ga))))
     vg_fn = fused if (const_ok and grad_ok) else None
-    log(f"[child unsat] fused ARD potential "
+    log(f"[child ard] fused non-centered ARD potential "
         f"{'verified' if vg_fn else 'MISMATCH - using autodiff'} "
         f"(const_ok={const_ok} grad_ok={grad_ok})")
 
@@ -201,13 +218,13 @@ def child_unsat() -> None:
         kernel=NUTS(max_depth=MAX_DEPTH), num_samples=DRAWS,
         num_warmup=WARMUP, num_chains=CHAINS, key=jax.random.PRNGKey(0),
         chain_method="vectorized", target_accept=UNSAT_TARGET_ACCEPT,
-        value_and_grad_fn=vg_fn,
+        value_and_grad_fn=vg_fn, ess_vars=["w", "tau"],
     )
-    log(f"[child unsat] backend: {jax.devices()[0]}")
+    log(f"[child ard] backend: {jax.devices()[0]}")
     t0 = time.time()
     res = sample(model, **kwargs)
     t_first = time.time() - t0
-    log(f"[child unsat] first sample() (compile+run): {t_first:.1f}s")
+    log(f"[child ard] first sample() (compile+run): {t_first:.1f}s")
     t_sampler = float("inf")
     for _ in range(3):
         res = sample(model, **kwargs)
@@ -216,7 +233,7 @@ def child_unsat() -> None:
         np.ravel(np.asarray(res.diagnostics["ess"][n])) for n in ("w", "tau")
     ])
     out = {
-        "engine": "nuts_unsat",
+        "engine": "nuts_ard_noncentered",
         "min_ess": float(np.min(ess)),
         "ess_cap": float(CHAINS * DRAWS),
         "sampler_seconds": t_sampler,
@@ -362,7 +379,9 @@ def torch_leapfrog_oracle_step_seconds() -> float:
 
 def torch_ard_oracle_step_seconds() -> float:
     """Eager PyTorch CPU: seconds per chains-batched leapfrog step on the
-    UNSAT config's hierarchical ARD logreg potential (w, log-tau)."""
+    headline config's NON-CENTERED hierarchical ARD logreg potential
+    (w_raw, log-tau) — the identical parameterization the TPU child
+    samples, so vs_baseline is apples to apples."""
     import numpy as np
     import torch
 
@@ -373,14 +392,15 @@ def torch_ard_oracle_step_seconds() -> float:
     theta = torch.zeros((CHAINS, 2 * DIM), requires_grad=True)
 
     def neg_log_post(th):
-        w, v = th[:, :DIM], th[:, DIM:]  # v = log tau
+        v, wr = th[:, :DIM], th[:, DIM:]  # v = log tau
+        w = wr * torch.exp(v)
         logits = w @ xt.T
         ll = yt * torch.nn.functional.logsigmoid(logits) + (
             1 - yt
         ) * torch.nn.functional.logsigmoid(-logits)
-        lp_w = -0.5 * ((w * torch.exp(-v)) ** 2).sum(-1) - v.sum(-1)
+        lp_wr = -0.5 * (wr * wr).sum(-1)
         lp_v = -0.5 * ((v / UNSAT_TAU_SD) ** 2).sum(-1)
-        return -(ll.sum(-1) + lp_w + lp_v).sum()
+        return -(ll.sum(-1) + lp_wr + lp_v).sum()
 
     r = torch.randn(CHAINS, 2 * DIM)
     for _ in range(3):
@@ -442,8 +462,8 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         if sys.argv[2] == "vae":
             child_vae()
-        elif sys.argv[2] == "unsat":
-            child_unsat()
+        elif sys.argv[2] == "ard":
+            child_ard()
         else:
             child(sys.argv[2])
         return
@@ -452,96 +472,122 @@ def main() -> None:
     total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 560))
     deadline = t_start + total_budget
 
-    # -- 1. reference-frame oracle (fast, CPU-only) ---------------------
+    # -- 1. reference-frame oracles (fast, CPU-only, measured BEFORE the
+    # children load the host — the oracle is load-sensitive) ------------
+    t_torch_ard = torch_ard_oracle_step_seconds()
     t_torch_step = torch_leapfrog_oracle_step_seconds()
-    log(f"torch eager CPU: {t_torch_step*1e3:.2f} ms / batched leapfrog step")
+    log(f"torch eager CPU: ARD {t_torch_ard*1e3:.2f} ms, plain logreg "
+        f"{t_torch_step*1e3:.2f} ms / batched leapfrog step")
 
     # -- 2. ALL children launch concurrently (see Child docstring): the
     # wall-clock cost is ~max(compile times) x a measured ~1.4x
     # contention factor (the service partially serializes concurrent
-    # large jobs), still far below their sum.  ChEES (an ~85 s-class program)
-    # launches ONLY if nuts crashes — a time-based racer was measured to
-    # hurt: it lands too late to help on slow days while its compile
-    # steals service capacity from nuts at the worst moment.
+    # large jobs), still far below their sum.  The floor child doubles
+    # as the headline fallback; ChEES (an ~85 s-class program) launches
+    # only when both bigger programs are lost.
     children = {
-        "nuts": Child("nuts", ["--child", "nuts"]),
+        "ard": Child("ard", ["--child", "ard"]),
+        "floor": Child("floor", ["--child", "nuts"]),
         "vae": Child("vae", ["--child", "vae"]),
-        "unsat": Child("unsat", ["--child", "unsat"]),
     }
     chees = None
     r = None
-    headline_engine = None
-    while time.time() < deadline - 20:
-        nr = children["nuts"].poll()
-        if nr is not None:
-            r, headline_engine = nr, "nuts"
+    headline_kind = None  # "ard" | "floor" | "chees"
+    rf = None  # floor result, whenever it lands
+    while time.time() < deadline - 45:
+        ra = children["ard"].poll()
+        if ra is not None:
+            r, headline_kind = ra, "ard"
             break
-        if children["nuts"].done and chees is None:
-            log("[parent] nuts crashed; launching chees fallback")
-            chees = Child("chees", ["--child", "chees"])
-        if chees is None and time.time() > deadline - 170:
-            # headline INSURANCE: the compile cache is a small laggy LRU
-            # (measured: the same nuts program hit in 32 s at 11:16 and
-            # missed >540 s at 11:29 on 2026-08-20) — if nuts missed,
-            # the ~85 s-class ChEES program still rescues a landed,
-            # honestly-labeled headline
-            log("[parent] nuts still compiling; launching chees racer")
+        rf = rf or children["floor"].poll()
+        ard_dead = children["ard"].done
+        floor_dead = children["floor"].done and rf is None
+        if ard_dead and rf is not None:
+            r, headline_kind = rf, "floor"
+            break
+        if chees is None and floor_dead and (
+            ard_dead or time.time() > deadline - 170
+        ):
+            # last-resort INSURANCE: the compile cache is a small laggy
+            # LRU (measured: the same program hit in 32 s at 11:16 and
+            # missed >540 s at 11:29 on 2026-08-20) — the ~85 s-class
+            # ChEES program still rescues a landed, honestly-labeled
+            # headline
+            log("[parent] floor lost and ard dead/late; launching chees")
             chees = Child("chees", ["--child", "chees"])
         if chees is not None:
             cr = chees.poll()
-            if cr is not None and (
-                children["nuts"].done or time.time() > deadline - 45
-            ):
-                r, headline_engine = cr, "chees"
+            if cr is not None and ard_dead:
+                r, headline_kind = cr, "chees"
                 break
-            if chees.done and cr is None and children["nuts"].done:
-                break  # both headline engines crashed
+            if (chees.done and cr is None and ard_dead
+                    and children["floor"].done):
+                break  # everything crashed
         time.sleep(2.0)
+    if r is None:
+        # deadline-45 reached with ard still compiling: take what landed
+        rf = rf or children["floor"].poll()
+        cr = chees.poll() if chees is not None else None
+        if rf is not None:
+            r, headline_kind = rf, "floor"
+        elif cr is not None:
+            r, headline_kind = cr, "chees"
     if chees is not None:
         chees.kill()
     if r is None:
-        children["nuts"].kill()
+        children["ard"].kill()
+        children["floor"].kill()
         # print a parseable failure line NOW; keep collecting secondaries
         print(json.dumps({
             "metric": "NUTS min-ESS/sec/chip (engines timed out)",
             "value": 0.0, "unit": "ess/sec", "vs_baseline": 0.0,
         }), flush=True)
-        primary = None
-        rv = ru = None
+        rv = None
         while time.time() < deadline - 10:
             rv = children["vae"].poll()
-            ru = children["unsat"].poll()
-            if children["vae"].done and children["unsat"].done:
+            if children["vae"].done:
                 break
             time.sleep(2.0)
         children["vae"].kill()
-        children["unsat"].kill()
         if rv is not None:
             log(f"secondary (headline missed): VAE ELBO steps/sec = "
                 f"{rv['elbo_steps_per_sec']:.0f}")
-        if ru is not None:
-            log(f"unsaturated (headline missed): min_ess={ru['min_ess']:.0f} "
-                f"of cap {ru['ess_cap']:.0f}, sampler={ru['sampler_seconds']:.2f}s")
         return
 
     ess_per_sec = r["min_ess"] / r["sampler_seconds"]
 
-    # oracle charged the same trajectory at its own step rate
+    # oracle charged the same trajectory at its own step rate, on the
+    # identical parameterization (non-centered ARD vs plain logreg)
+    t_oracle = t_torch_ard if headline_kind == "ard" else t_torch_step
     total_chain_steps = (
         r["total_chain_steps_draws"] + r["warmup_steps_per_chain"] * CHAINS
     )
-    baseline_time = (total_chain_steps / CHAINS) * t_torch_step
+    baseline_time = (total_chain_steps / CHAINS) * t_oracle
     vs_baseline = ess_per_sec / (r["min_ess"] / baseline_time)
 
-    label = "NUTS" if r["engine"] == "nuts" else "ChEES-HMC"
-    primary = {
-        "metric": (
+    if headline_kind == "ard":
+        metric = (
+            f"NUTS min-ESS/sec/chip, hierarchical ARD logreg "
+            f"(non-centered, min over w/tau) N={UNSAT_N} d={DIM}, "
+            f"{CHAINS} chains x {DRAWS} draws"
+        )
+    else:
+        label = "NUTS" if r["engine"] == "nuts" else "ChEES-HMC"
+        metric = (
             f"{label} min-ESS/sec/chip, Bayesian logreg "
-            f"N={N_POINTS} d={DIM}, {CHAINS} chains x {DRAWS} draws"
-        ),
+            f"N={N_POINTS} d={DIM}, {CHAINS} chains x {DRAWS} draws "
+            f"(SATURATED floor fallback — ard headline child missed)"
+        )
+    primary = {
+        "metric": metric,
         "value": round(ess_per_sec, 2),
         "unit": "ess/sec",
         "vs_baseline": round(vs_baseline, 2),
+        # headline progress-sensitivity evidence (VERDICT r3 #2):
+        # min_ess < 0.9 * ess_cap when the ard child lands
+        "min_ess": round(r["min_ess"], 1),
+        "ess_cap": r["ess_cap"],
+        "divergences": r["divergences"],
     }
     # hang-safety: the primary line prints IMMEDIATELY; an enriched copy
     # (same schema + secondary-metric keys) prints at the very end, so a
@@ -559,29 +605,32 @@ def main() -> None:
     )
     # FLOP accounting for the fused potential: per chain-leapfrog-step the
     # value+grad kernel does 2 matmuls -> 4*N*d FLOPs (+O(N) elementwise)
+    n_data = UNSAT_N if headline_kind == "ard" else N_POINTS
     flops_draws = r["total_chain_steps_draws"] * (
-        4.0 * N_POINTS * DIM + 12.0 * N_POINTS
+        4.0 * n_data * DIM + 12.0 * n_data
     )
     tflops = flops_draws / max(r["sampler_seconds"], 1e-9) / 1e12
     log(
         f"roofline: {tflops:.2f} TFLOP/s achieved in the sampling phase "
         f"(f32 data; v5e bf16 peak 197 TFLOP/s -> {100*tflops/197:.1f}% of "
-        f"bf16 peak; small-d matmuls [{CHAINS},{DIM}]x[{DIM},{N_POINTS}] "
-        f"are latency/VPU-bound, see BASELINE.md)"
+        f"bf16 peak; small-d matmuls [{CHAINS},{DIM}]x[{DIM},{n_data}] "
+        f"are latency/VPU-bound — the MXU-bound engine demonstration "
+        f"lives at d=1024, scripts/exp_engine_mxu2.py + BASELINE.md)"
     )
 
     # -- 4. secondary metrics: poll the concurrently-launched children --
-    rv = ru = None
+    rv = None
     while time.time() < deadline - 12:
         rv = children["vae"].poll()
-        ru = children["unsat"].poll()
-        if children["vae"].done and children["unsat"].done:
+        rf = rf or children["floor"].poll()
+        if children["vae"].done and children["floor"].done:
             break
         time.sleep(2.0)
     children["vae"].kill()
-    children["unsat"].kill()
+    children["floor"].kill()
+    children["ard"].kill()
     rv = rv or children["vae"].poll()
-    ru = ru or children["unsat"].poll()
+    rf = rf or children["floor"].poll()
 
     if rv is not None:
         torch_sps = torch_vae_oracle_steps_per_sec()
@@ -595,29 +644,31 @@ def main() -> None:
     else:
         log("secondary: VAE child did not finish within budget")
 
-    # -- 5. unsaturated companion (VERDICT r2 #2): ARD logreg -----------
-    if ru is not None:
-        unsat_eps = ru["min_ess"] / ru["sampler_seconds"]
-        t_torch_unsat = torch_ard_oracle_step_seconds()
-        base_t = (ru["total_chain_steps_draws"] / CHAINS +
-                  ru["warmup_steps_per_chain"]) * t_torch_unsat
-        unsat_vs = unsat_eps / (ru["min_ess"] / max(base_t, 1e-9))
+    # -- 5. saturated floor companion (the r1-r3 headline; its min-ESS
+    # = chains*draws cap, so its value only moves with timing noise —
+    # kept as the floor documented alongside, VERDICT r3 #2) ------------
+    if rf is not None and headline_kind == "ard":
+        floor_eps = rf["min_ess"] / rf["sampler_seconds"]
+        floor_steps = (rf["total_chain_steps_draws"] / CHAINS +
+                       rf["warmup_steps_per_chain"])
+        floor_vs = floor_eps / (rf["min_ess"] / max(
+            floor_steps * t_torch_step, 1e-9))
         log(
-            f"unsaturated: ARD logreg N={UNSAT_N} d={DIM} (w,tau; funnel-like), "
-            f"min_ess={ru['min_ess']:.0f} of cap {ru['ess_cap']:.0f} "
-            f"({100*ru['min_ess']/ru['ess_cap']:.0f}% — UNSATURATED) "
-            f"sampler={ru['sampler_seconds']:.2f}s -> {unsat_eps:.0f} ess/sec "
-            f"({unsat_vs:.0f}x torch-eager oracle); accept={ru['accept']:.2f} "
-            f"divergences={ru['divergences']}"
+            f"floor: plain logreg N={N_POINTS} d={DIM} "
+            f"min_ess={rf['min_ess']:.0f} of cap {rf['ess_cap']:.0f} "
+            f"(SATURATED) sampler={rf['sampler_seconds']:.2f}s -> "
+            f"{floor_eps:.0f} ess/sec ({floor_vs:.0f}x torch-eager oracle); "
+            f"r3 floor was 3858193 ess/sec"
         )
-        primary["unsat_min_ess"] = round(ru["min_ess"], 1)
-        primary["unsat_ess_cap"] = ru["ess_cap"]
-        primary["unsat_ess_per_sec"] = round(unsat_eps, 1)
-    else:
-        log("unsaturated companion: did not finish within budget")
+        primary["floor_ess_per_sec"] = round(floor_eps, 1)
+        primary["floor_ess_cap"] = rf["ess_cap"]
+        primary["floor_min_ess"] = round(rf["min_ess"], 1)
+        primary["floor_vs_baseline"] = round(floor_vs, 2)
+    elif headline_kind == "ard":
+        log("floor companion: did not finish within budget")
 
     # -- 6. enriched final JSON (same headline, extra keys) -------------
-    if len(primary) > 4:
+    if len(primary) > 7:
         print(json.dumps(primary), flush=True)
 
 

@@ -14,7 +14,7 @@ is the rebuild's MCMC entry point.  TPU-first structure:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.flatten_util
@@ -444,6 +444,7 @@ def sample(
     resume_state: Optional[Dict[str, Array]] = None,
     init_strategy: str = "uniform",
     diagnostics_backend: str = "auto",
+    ess_vars: Optional[Sequence[str]] = None,
 ) -> MCMCResult:
     """Run MCMC on a ProbabilisticModel (or a raw potential callable).
 
@@ -849,7 +850,20 @@ def sample(
     if mode != "none":
         ess = {}
         rhat = {}
-        for n in comp.continuous_latent_names:
+        if ess_vars is not None:
+            # explicit list: latents AND deterministic descendants (e.g.
+            # the centered node of a NonCenteredNormalVariable) — anything
+            # collected in `samples`
+            diag_names = list(ess_vars)
+            missing = [n for n in diag_names if n not in samples]
+            if missing:
+                raise ValueError(
+                    f"ess_vars {missing} not in collected samples "
+                    f"(available: {sorted(samples)})"
+                )
+        else:
+            diag_names = list(comp.continuous_latent_names)
+        for n in diag_names:
             if given and n in given:
                 continue  # conditioned: constant across draws (0/0 R-hat)
             s = samples[n]

@@ -24,6 +24,7 @@ __all__ = [
     "PoissonVariable", "GeometricVariable", "CategoricalVariable",
     "ConcreteVariable", "MultivariateNormalVariable", "DirichletVariable", "MixtureVariable",
     "DeterministicVariable", "EmpiricalVariable", "RandomIndices",
+    "NonCenteredNormalVariable",
 ]
 
 
@@ -163,6 +164,51 @@ def EmpiricalVariable(dataset, name=None, indices=None, batch_size=None):
 def RandomIndices(dataset_size, batch_size, name=None):
     """Minibatch index sampler (reference's RandomIndices, SURVEY.md §2)."""
     return RandomVariable(D.RandomIndices(dataset_size, batch_size), name=name, links={})
+
+
+def NonCenteredNormalVariable(loc, scale, name=None, shape=None,
+                              plate_shape=(), raw_name=None):
+    """Non-centered Normal hierarchy (reparameterization utility).
+
+    Builds ``raw ~ N(0, 1)`` as the sampled latent and returns the
+    deterministic node ``name = loc + scale * raw``.  HMC/NUTS then
+    samples the well-conditioned standard-normal ``raw`` instead of the
+    funnel-shaped centered coordinate — the classic fix when ``scale`` is
+    itself a random hierarchy scale (Neal's funnel / eight-schools / ARD
+    geometries, where centered NUTS diverges in the neck at any step
+    size).  The returned node appears in ``sample()`` outputs via
+    ``collect_deterministic``; pass ``ess_vars=[name, ...]`` to get its
+    ESS/R-hat directly.
+
+    ``shape``: event shape of the standard-normal latent.  Inferred by
+    broadcasting concrete ``loc``/``scale`` arrays when omitted; required
+    when both are Variables/expressions.  The latent is exposed as the
+    ``.raw`` attribute (named ``raw_name`` or ``f"{name}_raw"``).
+    """
+    import numpy as np
+
+    from .variables import PartialLink, Variable
+
+    if shape is None:
+        shapes = [
+            np.shape(a) for a in (loc, scale)
+            if not isinstance(a, (Variable, PartialLink))
+        ]
+        if not shapes:
+            raise ValueError(
+                "NonCenteredNormalVariable: pass shape= when both loc and "
+                "scale are variables/expressions"
+            )
+        shape = np.broadcast_shapes(*shapes)
+    shape = tuple(shape)
+    raw = NormalVariable(
+        np.zeros(shape, np.float32), np.ones(shape, np.float32),
+        name=raw_name or (f"{name}_raw" if name else None),
+        plate_shape=plate_shape,
+    )
+    out = DeterministicVariable(loc + scale * raw, name=name)
+    out.raw = raw
+    return out
 
 
 def MixtureVariable(component_dist, probs=None, name=None, logits=None,
