@@ -325,6 +325,7 @@ def _run_vectorized(
             max_delta_energy=getattr(kernel, "max_delta_energy", 1000.0),
             axis_name=axis_name, inv_mass0=inv_mass0,
             pipeline=getattr(kernel, "pipelined", False),
+            lookahead=getattr(kernel, "lookahead", 16),
         )
         stats = {
             "accept_prob": res.accept_prob,

@@ -82,7 +82,8 @@ class NUTS:
     """NUTS kernel config (plugs into mcmc.sample)."""
 
     def __init__(self, max_depth: int = 10, target_accept: float = 0.8,
-                 max_delta_energy: float = 1000.0, pipelined: bool = False):
+                 max_delta_energy: float = 1000.0, pipelined: bool = False,
+                 lookahead: int = 16):
         self.max_depth = max_depth
         self.target_accept = target_accept
         self.max_delta_energy = max_delta_energy
@@ -90,8 +91,13 @@ class NUTS:
         # their next draw immediately on U-turn instead of idling until
         # the slowest chain's tree completes — worth ~= the lockstep
         # waste factor (diagnostics 'chain_leapfrog'; 3.16x measured on
-        # the eight-schools funnel, 1.0x on well-conditioned posteriors)
+        # the eight-schools funnel, 1.35x on the non-centered ARD bench
+        # config, 1.0x on well-conditioned posteriors).  lookahead: the
+        # output-ring depth — a chain may run at most this many draws
+        # ahead of the slowest before idling (vectorized_nuts.py
+        # _pipelined_sampling).
         self.pipelined = pipelined
+        self.lookahead = lookahead
 
     def make_step(self, potential_fn: Callable):
         max_depth = self.max_depth

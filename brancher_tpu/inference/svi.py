@@ -213,6 +213,7 @@ def perform_inference(
     progress: bool = False,
     progress_interval: int = 100,
     matmul_precision: Optional[str] = None,
+    scan_unroll: int = 1,
 ) -> InferenceResult:
     """Run SVI / point estimation (reference entry point, SURVEY.md §3.4).
 
@@ -231,6 +232,15 @@ def perform_inference(
     while parameters and the optimizer stay f32 — the standard TPU
     mixed-precision recipe (ROADMAP r2 #5).  None keeps the backend
     default ("highest" on this chip).
+
+    scan_unroll: unroll factor for the training-step lax.scan.  Small
+    per-step programs (e.g. the B=256/h=64 bench VAE at ~70 us/step)
+    are bound by per-iteration loop/launch overhead, not compute;
+    unrolling amortizes it (measured on-chip: scripts/exp_elbo_unroll.py,
+    BASELINE.md "ELBO step cost" note).  number_iterations need not be a
+    multiple of the unroll factor (lax.scan requires it, so the driver
+    rounds the iteration count UP to the next multiple; the loss curve
+    is truncated back to number_iterations).
     """
     import optax
 
@@ -345,12 +355,16 @@ def perform_inference(
                 )
             return (opt_params, opt_state), loss
 
-        keys = jax.random.split(key, number_iterations)
-        steps = jnp.arange(number_iterations)
+        n_iter = number_iterations
+        if scan_unroll > 1:
+            n_iter = -(-number_iterations // scan_unroll) * scan_unroll
+        keys = jax.random.split(key, n_iter)
+        steps = jnp.arange(n_iter)
         (opt_params, opt_state), losses = jax.lax.scan(
-            step, (opt_params, opt_state), (keys, steps)
+            step, (opt_params, opt_state), (keys, steps),
+            unroll=scan_unroll,
         )
-        return opt_params, losses
+        return opt_params, losses[:number_iterations]
 
     import time as _time
 

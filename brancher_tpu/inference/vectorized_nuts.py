@@ -329,7 +329,18 @@ class _PS(NamedTuple):
     active: Array  # [C] current tree still growing
     dvg_draw: Array  # [C] divergence seen this draw
     sum_acc: Array; cnt: Array
-    # output buffers, written at per-chain draw completion
+    # lookahead-B output ring (ROADMAP r3 #4): chains write completed
+    # draws into slot (draw % B); row B is the dump row for non-finished
+    # lanes.  The ring is SMALL, so the backend's scatter-copies-the-
+    # whole-buffer penalty is ~1 MB/iter instead of the 131 MB/iter the
+    # old [S+1, C, d] direct scatter paid (exp_scatter_in_while.py).
+    ring_z: Array  # [B+1, C, d]
+    ring_acc: Array  # [B+1, C]
+    ring_dvg: Array  # [B+1, C]
+    ring_cnt: Array  # [B+1, C]
+    flushed: Array  # scalar: rows already copied to the output buffers
+    # output buffers, flushed one shared row at a time via
+    # dynamic_update_slice (aliases in place on every backend measured)
     zs_out: Array  # [S, C, d]
     acc_out: Array  # [S, C]
     dvg_out: Array  # [S, C]
@@ -338,34 +349,44 @@ class _PS(NamedTuple):
 
 def _pipelined_sampling(
     value_and_grad_fn, z, val, grad, eps, inv_mass, key, num_samples,
-    max_depth, max_delta_energy,
+    max_depth, max_delta_energy, lookahead: int = 16,
 ):
     """Sampling phase with per-chain draw pipelining (ROADMAP r2 #10).
 
     The lockstep engine runs max-over-chains tree iterations per draw;
-    measured waste is 1.0x on well-conditioned posteriors but 3.16x on
-    the eight-schools funnel (scripts/exp_nuts_waste.py).  Here each
-    chain refreshes momentum and starts its NEXT draw in the very
-    iteration after its U-turn — total iterations approach
-    max_c(sum_draws tree_c) ~ S * mean instead of sum_draws(max_c tree_c)
-    (measured: 29k vs 74k iterations on the funnel).
+    measured waste is 1.0x on well-conditioned posteriors, 1.35x on the
+    non-centered ARD headline config, and 3.16x on the eight-schools
+    funnel (scripts/exp_nuts_waste.py).  Here each chain refreshes
+    momentum and starts its NEXT draw in the very iteration after its
+    U-turn — total iterations approach max_c(sum_draws tree_c) ~ S *
+    mean instead of sum_draws(max_c tree_c) (measured: 29k vs 74k
+    iterations on the funnel).
 
-    BACKEND CAVEAT (why this stays opt-in): on the current axon backend
-    any scattered write into a while-loop carry copies the whole output
-    buffer per iteration (scripts/exp_scatter_in_while.py), so despite
-    2.5x fewer iterations the engine runs slower end-to-end there.  On
-    backends whose compiler aliases scatters in place, the iteration
-    saving is the wall-clock saving.
+    Output writes use a LOOKAHEAD RING of ``lookahead`` rows (ROADMAP
+    r3 #4): on this backend a scattered write into a while-loop carry
+    copies the whole buffer per iteration
+    (scripts/exp_scatter_in_while.py: 0.95 ms/iter for the [S+1, C, d]
+    buffer at bench scale — which made the first pipelined engine
+    SLOWER despite 2.5x fewer iterations).  Chains scatter completed
+    draws into the small ring (slot draw % B; ~1 MB copied/iter), and
+    whenever every chain has passed row ``flushed`` that row moves to
+    the big output buffer with a shared-scalar-row dynamic_update_slice
+    (aliases in place: 0.027 ms/iter measured).  A chain more than B
+    draws ahead of the slowest stalls (idles) until the row frees; the
+    slowest chain never stalls, so there is no deadlock.
 
-    RNG: per-iteration per-chain keys fold_in(fold_in(key, chain), it) —
-    a different (but equally valid) stream than the lockstep engine, so
-    results are deterministic per seed but not bit-equal across engines.
+    RNG: per-iteration keys fold_in(key, it) — a different (but equally
+    valid) stream than the lockstep engine, so results are
+    deterministic per seed but not bit-equal across engines (and the
+    stall schedule means draws also differ from the r2 scatter-write
+    pipelined engine).
     """
     c, d = z.shape
     dtype = z.dtype
     kdim = max_depth + 1
     max_n = jnp.asarray(2**max_depth, jnp.int32)
     s_len = num_samples
+    B = max(2, min(int(lookahead), s_len))
     cidx = jnp.arange(c)
     neg_inf = jnp.full((c,), -jnp.inf, dtype)
     zeros_c = jnp.zeros((c,), dtype)
@@ -396,10 +417,15 @@ def _pipelined_sampling(
         # in place (the gather+select variant forced a full buffer copy
         # per iteration: measured 1.7 ms/iter = one 131 MB copy at HBM
         # speed at bench scale)
-        zs_out=jnp.zeros((s_len + 1, c, d), dtype),
-        acc_out=jnp.zeros((s_len + 1, c), dtype),
-        dvg_out=jnp.zeros((s_len + 1, c), bool),
-        cnt_out=jnp.zeros((s_len + 1, c), dtype),
+        ring_z=jnp.zeros((B + 1, c, d), dtype),
+        ring_acc=jnp.zeros((B + 1, c), dtype),
+        ring_dvg=jnp.zeros((B + 1, c), bool),
+        ring_cnt=jnp.zeros((B + 1, c), dtype),
+        flushed=jnp.zeros((), jnp.int32),
+        zs_out=jnp.zeros((s_len, c, d), dtype),
+        acc_out=jnp.zeros((s_len, c), dtype),
+        dvg_out=jnp.zeros((s_len, c), bool),
+        cnt_out=jnp.zeros((s_len, c), dtype),
     )
 
     def cond(s: _PS):
@@ -414,7 +440,11 @@ def _pipelined_sampling(
         )
 
         # --- per-chain draw start: refresh momentum, reset the tree ------
-        starting = jnp.logical_and(s.n == 0, working)
+        # ring backpressure: a chain B draws ahead of the slowest would
+        # overwrite an unflushed ring row — it idles until the row frees
+        can_start = (s.draw - s.flushed) < B
+        starting = jnp.logical_and(jnp.logical_and(s.n == 0, working),
+                                   can_start)
         st = starting[:, None]
         r0 = jax.random.normal(k_mom, (c, d), dtype) / jnp.sqrt(inv_mass)[None, :]
         h0 = jnp.where(starting, -s.val + _ke(r0, inv_mass), s.h0)
@@ -555,21 +585,52 @@ def _pipelined_sampling(
         active_new = jnp.logical_and(active_new, jnp.logical_not(new_fail))
         active_new = jnp.logical_and(active_new, jnp.logical_not(merging & full_turn))
 
-        n_new = jnp.where(working, n + 1, n)
+        # stalled chains (n == 0, waiting on ring backpressure) are not
+        # in a tree: they neither advance their leaf index nor finish
+        in_tree = n > 0
+        n_new = jnp.where(jnp.logical_and(working, in_tree), n + 1, n)
         budget_out = n_new >= max_n
         finished = jnp.logical_and(
-            working, jnp.logical_or(jnp.logical_not(active_new), budget_out)
+            jnp.logical_and(working, in_tree),
+            jnp.logical_or(jnp.logical_not(active_new), budget_out),
         )
 
-        # --- write completed draws (pure scatter; dump row = s_len) -------
-        row = jnp.where(finished, jnp.clip(s.draw, 0, s_len - 1), s_len)
+        # --- write completed draws into the ring (dump row = B) -----------
+        row = jnp.where(finished, s.draw % B, B)
         acc_prob = sum_acc / jnp.maximum(cnt, 1.0)
-        zs_out = s.zs_out.at[row, cidx].set(prop_z)
-        acc_out = s.acc_out.at[row, cidx].set(acc_prob)
-        dvg_out = s.dvg_out.at[row, cidx].set(dvg_draw)
-        cnt_out = s.cnt_out.at[row, cidx].set(cnt)
+        ring_z = s.ring_z.at[row, cidx].set(prop_z)
+        ring_acc = s.ring_acc.at[row, cidx].set(acc_prob)
+        ring_dvg = s.ring_dvg.at[row, cidx].set(dvg_draw)
+        ring_cnt = s.ring_cnt.at[row, cidx].set(cnt)
 
         draw = s.draw + finished.astype(jnp.int32)
+
+        # --- flush: once EVERY chain has passed row `flushed`, that ring
+        # slot is complete and no chain may touch it again (backpressure
+        # above); move it to the output buffer at a shared scalar row —
+        # dynamic_update_slice aliases in place.  The write is
+        # unconditional (cheaper than predication): while incomplete it
+        # lands partial data that the next flush attempt overwrites, and
+        # `flushed` only advances when the row was complete.
+        f = jnp.minimum(s.flushed, s_len - 1)
+        slot = f % B
+        zs_out = jax.lax.dynamic_update_slice(
+            s.zs_out, jax.lax.dynamic_slice_in_dim(ring_z, slot, 1, 0),
+            (f, 0, 0),
+        )
+        acc_out = jax.lax.dynamic_update_slice(
+            s.acc_out, jax.lax.dynamic_slice_in_dim(ring_acc, slot, 1, 0),
+            (f, 0),
+        )
+        dvg_out = jax.lax.dynamic_update_slice(
+            s.dvg_out, jax.lax.dynamic_slice_in_dim(ring_dvg, slot, 1, 0),
+            (f, 0),
+        )
+        cnt_out = jax.lax.dynamic_update_slice(
+            s.cnt_out, jax.lax.dynamic_slice_in_dim(ring_cnt, slot, 1, 0),
+            (f, 0),
+        )
+        flushed = s.flushed + (jnp.min(draw) > s.flushed).astype(jnp.int32)
         # finished chains adopt the accepted proposal and restart at n=0
         z_cur = jnp.where(finished[:, None], prop_z, s.z)
         val_cur = jnp.where(finished, prop_val, s.val)
@@ -591,17 +652,31 @@ def _pipelined_sampling(
             z_ck=z_ck, r_ck=r_ck, rs_ck=rs_ck,
             dirn=dirn, active=active_new, dvg_draw=dvg_draw,
             sum_acc=sum_acc, cnt=cnt,
+            ring_z=ring_z, ring_acc=ring_acc, ring_dvg=ring_dvg,
+            ring_cnt=ring_cnt, flushed=flushed,
             zs_out=zs_out, acc_out=acc_out, dvg_out=dvg_out, cnt_out=cnt_out,
         )
 
     s = jax.lax.while_loop(cond, body, s0)
     total_iters = s.it
+    # at exit flushed >= s_len - 1: at most the LAST row is unflushed.
+    # Rewriting it unconditionally is safe — no chain can have reused
+    # slot (s_len-1) % B (that would need draw >= s_len - 1 + B).
+    last_slot = (s_len - 1) % B
+    zs_out = jax.lax.dynamic_update_slice(
+        s.zs_out, s.ring_z[last_slot:last_slot + 1], (s_len - 1, 0, 0))
+    acc_out = jax.lax.dynamic_update_slice(
+        s.acc_out, s.ring_acc[last_slot:last_slot + 1], (s_len - 1, 0))
+    dvg_out = jax.lax.dynamic_update_slice(
+        s.dvg_out, s.ring_dvg[last_slot:last_slot + 1], (s_len - 1, 0))
+    cnt_out = jax.lax.dynamic_update_slice(
+        s.cnt_out, s.ring_cnt[last_slot:last_slot + 1], (s_len - 1, 0))
     return (
-        jnp.swapaxes(s.zs_out[:s_len], 0, 1),  # [C, S, d]
-        jnp.swapaxes(s.acc_out[:s_len], 0, 1),
-        jnp.swapaxes(s.dvg_out[:s_len], 0, 1),
+        jnp.swapaxes(zs_out, 0, 1),  # [C, S, d]
+        jnp.swapaxes(acc_out, 0, 1),
+        jnp.swapaxes(dvg_out, 0, 1),
         total_iters,
-        jnp.mean(s.cnt_out[:s_len], axis=1),  # [S] mean live leapfrogs/draw
+        jnp.mean(cnt_out, axis=1),  # [S] mean live leapfrogs/draw
     )
 
 
@@ -619,6 +694,7 @@ def nuts_batched(
     inv_mass0=None,
     chunk: int = 1,
     pipeline: bool = False,
+    lookahead: int = 16,
 ) -> VectorizedNUTSResult:
     """Full vectorized-NUTS run with shared warmup adaptation."""
     c, d = z0.shape
@@ -680,6 +756,7 @@ def nuts_batched(
             zs_cs, aps_cs, dvgs_cs, total_iters, c_leaps = _pipelined_sampling(
                 value_and_grad_fn, z, val, grad, eps_final, inv_mass,
                 k_samp, num_samples, max_depth, max_delta_energy,
+                lookahead=lookahead,
             )
         # per-draw loop-iteration counts have no lockstep meaning here;
         # report the amortized iterations/draw so FLOP accounting

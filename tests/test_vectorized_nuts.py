@@ -278,6 +278,35 @@ def test_pipelined_matches_lockstep_on_funnel(key):
 
 
 @pytest.mark.slow
+def test_pipelined_tiny_lookahead_ring(key):
+    """lookahead=2 forces constant ring backpressure (chains stall the
+    moment they get 2 draws ahead): every output row must still be a
+    real draw — the flush path may never leave partial/dump data in the
+    output buffers (ROADMAP r3 #4 ring write path)."""
+    obs = np.random.RandomState(1).randn(16).astype(np.float32) + 1.5
+    mu = NormalVariable(0.0, 2.0, "mu")
+    x = NormalVariable(mu, 1.0, "x", plate_shape=(16,))
+    x.observe(obs)
+    m = ProbabilisticModel([x])
+    v_post = 1.0 / (0.25 + 16)
+    m_post = v_post * obs.sum()
+    res = sample(m, kernel=NUTS(max_depth=8, pipelined=True, lookahead=2),
+                 num_samples=1000, num_warmup=500, num_chains=8, key=key)
+    s = np.asarray(res.samples["mu"])
+    assert s.shape == (8, 1000)
+    # a missed flush would leave initialized-to-zero rows: with a
+    # posterior centered at ~1.45 and sd ~0.25, exact zeros are
+    # impossible draws
+    assert np.all(np.abs(s) > 1e-12)
+    # draws within each chain must not repeat in long runs (a stuck ring
+    # slot would duplicate rows); allow the rare genuine MH rejection
+    dup_frac = np.mean(s[:, 1:] == s[:, :-1])
+    assert dup_frac < 0.2, dup_frac
+    assert abs(s.mean() - m_post) < 0.05, (s.mean(), m_post)
+    assert abs(s.var() - v_post) < 0.3 * v_post, (s.var(), v_post)
+
+
+@pytest.mark.slow
 def test_runner_cache_pins_user_vg_fn(key):
     """_RUNNER_CACHE keys on id(value_and_grad_fn); the cache must PIN
     the callable so deleting it and allocating a new one can never alias
