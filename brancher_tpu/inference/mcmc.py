@@ -238,6 +238,7 @@ def _run_vectorized(
     inv_mass0=None,
     leapfrog_fn=None,
     adapt_step_size=True,
+    jit_runner=True,
 ):
     """Dispatch to the chain-batched engines (vectorized NUTS / HMC / ChEES)."""
     from .nuts import NUTS
@@ -359,10 +360,23 @@ def _run_vectorized(
         None if inv_mass0 is None else id(inv_mass0),
         jnp.shape(z0), str(jnp.asarray(z0).dtype),
         None if mesh is None else (id(mesh), chain_axis),
+        bool(jit_runner),
     )
 
     def build_runner():
         if mesh is None:
+            if not jit_runner:
+                # eager engine dispatch: the inner lax.scan/while_loop
+                # programs still compile (and cache) individually, but
+                # the potential's closed-over data arrays stay runtime
+                # buffers instead of whole-program constants.  Needed on
+                # backends whose remote compile service bounds the
+                # request payload: a jitted runner closing over a
+                # ~500 MB design matrix is rejected with HTTP 413
+                # (measured 2026-08-20, d=1024 x N=131072 GLM), while
+                # the same engine dispatched eagerly compiles in
+                # seconds.
+                return lambda z, k: run(z, k, None)
             return jax.jit(lambda z, k: run(z, k, None))
 
         from jax import shard_map
@@ -446,6 +460,7 @@ def sample(
     init_strategy: str = "uniform",
     diagnostics_backend: str = "auto",
     ess_vars: Optional[Sequence[str]] = None,
+    jit_runner: bool = True,
 ) -> MCMCResult:
     """Run MCMC on a ProbabilisticModel (or a raw potential callable).
 
@@ -462,6 +477,16 @@ def sample(
     value_and_grad_fn: optional batched fused (log-posterior, grad)
     evaluator [C,d] -> ([C],[C,d]) (e.g. the Pallas logreg kernel); used
     only by the vectorized path; defaults to vmap(value_and_grad).
+
+    jit_runner: False dispatches the (unsharded) vectorized engine
+    eagerly instead of wrapping it in one outer jax.jit — the inner
+    scan/while programs still compile and cache, but the potential's
+    closed-over data stays a runtime buffer.  Use for MXU-scale models
+    whose design matrices (100s of MB) overflow the remote compile
+    service's whole-program payload limit (HTTP 413).  Same algorithm
+    and RNG stream, but XLA fusion boundaries differ, so draws can
+    drift from the jitted runner's in low-order bits (chaotic
+    trajectory divergence) — statistically identical, not bit-equal.
 
     fused_potential: "auto" (default) probes the compiled model for a
     dense-GLM structure (ops/pallas_glm.py) and, when it matches and
@@ -732,7 +757,7 @@ def sample(
             kernel, potential_fn, value_and_grad_fn, z0, num_warmup,
             num_samples, k_run, target_accept, init_step_size, mesh,
             chain_axis, inv_mass0=inv_mass0, leapfrog_fn=leapfrog_fn,
-            adapt_step_size=adapt_step_size,
+            adapt_step_size=adapt_step_size, jit_runner=jit_runner,
         )
     elif chain_method in ("vmap", "shard_map"):
         # memoize the jitted per-chain runner too (same retrace tax as

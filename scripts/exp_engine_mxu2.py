@@ -6,10 +6,13 @@ potential matmuls.  This script localizes the overhead and demonstrates
 the roofline INSIDE sample():
 
   A. bare potential value+grad at the engine shape (scan of 32 chained
-     evals, device-atomic) per mode — the in-engine cost of one eval,
-     for the breakdown;
+     evals, dispatched EAGERLY — an outer jax.jit ships the 537 MB
+     design matrix in the compile-request payload and the remote
+     service rejects it with HTTP 413) — the in-engine cost of one
+     eval, for the breakdown;
   B. HMC through sample() (static L=16, jitter off: a scanned
-     fixed-length integrator, the TPU-first MXU-bound engine) per mode,
+     fixed-length integrator, the TPU-first MXU-bound engine;
+     jit_runner=False for the same payload-limit reason) per mode,
      reporting sampling-phase TFLOP/s = leapfrogs * 4*C*N*d / sampler_s.
 
 Run: python scripts/exp_engine_mxu2.py [C]
@@ -28,6 +31,11 @@ C, N, D = 256, 131072, 1024
 L, WARMUP, DRAWS = 16, 64, 64
 if len(sys.argv) > 1:
     C = int(sys.argv[1])
+if len(sys.argv) > 2:
+    N = int(sys.argv[2])
+if len(sys.argv) > 3:
+    WARMUP = DRAWS = int(sys.argv[3])
+SKIP_BARE = os.environ.get("SKIP_BARE", "0") == "1"
 
 
 def main():
@@ -55,17 +63,15 @@ def main():
     ]
     flops_eval = 4.0 * C * N * D
 
-    # -- A: bare potential, 32 chained evals --------------------------------
+    # -- A: bare potential, 32 chained evals (eager scan dispatch) ----------
     z0 = jnp.asarray(rng.uniform(-0.5, 0.5, (C, D)).astype(np.float32))
-    for name, vg in modes:
-        @jax.jit
+    for name, vg in ([] if SKIP_BARE else modes):
         def chain32(z, vg=vg):
             def body(carry, _):
                 val, grad = vg(carry)
                 # data dependency serializes the scan
                 return carry + 1e-6 * grad, val
-            zz, vals = jax.lax.scan(body, z, None, length=32)
-            return zz, vals
+            return jax.lax.scan(body, z, None, length=32)
         r = chain32(z0); jax.block_until_ready(r)
         t0 = time.perf_counter(); r = chain32(z0); jax.block_until_ready(r)
         dt = (time.perf_counter() - t0) / 32
@@ -80,6 +86,7 @@ def main():
             num_samples=DRAWS, num_warmup=WARMUP, num_chains=C,
             key=jax.random.PRNGKey(0), chain_method="vectorized",
             value_and_grad_fn=vg, diagnostics_backend="none",
+            jit_runner=False,
         )
         t0 = time.perf_counter()
         res = sample(model, **kwargs)

@@ -307,6 +307,29 @@ def test_pipelined_tiny_lookahead_ring(key):
 
 
 @pytest.mark.slow
+def test_jit_runner_false_statistical_parity(key):
+    """sample(jit_runner=False) — eager engine dispatch for models whose
+    closed-over data overflows remote-compile payload limits — must run
+    the same algorithm: posterior moments agree with the jitted runner
+    (bit-equality is NOT guaranteed: fusion boundaries differ, so
+    trajectories drift in low-order bits)."""
+    obs = np.random.RandomState(2).randn(24).astype(np.float32) + 1.0
+    mu = NormalVariable(0.0, 2.0, "mu")
+    x = NormalVariable(mu, 1.0, "x", plate_shape=(24,))
+    x.observe(obs)
+    m = ProbabilisticModel([x])
+    kw = dict(kernel=NUTS(max_depth=8), num_samples=600, num_warmup=400,
+              num_chains=8, key=key)
+    r_j = sample(m, **kw)
+    r_e = sample(m, jit_runner=False, **kw)
+    a = float(np.mean(np.asarray(r_j.samples["mu"])))
+    b = float(np.mean(np.asarray(r_e.samples["mu"])))
+    v_post = 1.0 / (0.25 + 24)
+    assert abs(a - b) < 4 * np.sqrt(v_post / 600), (a, b)
+    assert float(np.max(np.asarray(r_e.diagnostics["r_hat"]["mu"]))) < 1.02
+
+
+@pytest.mark.slow
 def test_runner_cache_pins_user_vg_fn(key):
     """_RUNNER_CACHE keys on id(value_and_grad_fn); the cache must PIN
     the callable so deleting it and allocating a new one can never alias
