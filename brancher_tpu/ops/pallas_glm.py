@@ -132,6 +132,16 @@ def normal_vg_reference(
     return val, grad
 
 
+# Jitted wrappers with the data arrays as ARGUMENTS (see
+# FusedFamily.value_and_grad for why: eager dispatch must stay fused —
+# OOM/10x measured otherwise — and closure constants overflow the
+# remote compile service's payload limit at MXU scale).
+_jit_bernoulli_vg = jax.jit(bernoulli_vg_reference)
+_jit_bernoulli_vg_bf16 = jax.jit(bernoulli_vg_reference_bf16)
+_jit_normal_vg = jax.jit(normal_vg_reference)
+_jit_normal_vg_bf16 = jax.jit(normal_vg_reference_bf16)
+
+
 def categorical_vg_reference(
     z: Array, x: Array, y_onehot: Array, c: Array, cols: Array, ks: Array,
     prior_mean: Array, prior_inv_var: Array, ll_scale: float = 1.0,
@@ -481,6 +491,17 @@ class FusedFamily(NamedTuple):
             use_pallas = (jax.default_backend() == "tpu"
                           and (d >= 512 or (d >= 128 and n >= 16384)))
         f = self
+        # The reference (XLA) paths are wrapped in their own jax.jit
+        # with the data arrays as ARGUMENTS (not closure constants):
+        #  * dispatched eagerly (sample(jit_runner=False), adaptation
+        #    probes) the ops would otherwise run unfused, materializing
+        #    [C, N] intermediates through HBM — measured OOM at
+        #    C=1024 x N=1e6 (4.3 GB logits + 4.3 GB resid) and ~10x
+        #    slowdown at C=256;
+        #  * as arguments the arrays stay runtime buffers, so the
+        #    remote compile service's payload limit (HTTP 413 at
+        #    ~500 MB, CLAUDE.md round 4) is never hit.
+        # Inside an outer jit these wrappers just inline.
         if dtype == "bf16":
             if f.family not in ("bernoulli_logit", "normal_learned"):
                 # ADVICE r3 #1: without this, an unsupported family would
@@ -492,10 +513,10 @@ class FusedFamily(NamedTuple):
                 )
             x16 = f.x.astype(jnp.bfloat16)  # cast ONCE, outside the closure
             if f.family == "bernoulli_logit":
-                return lambda z: bernoulli_vg_reference_bf16(
+                return lambda z: _jit_bernoulli_vg_bf16(
                     z, x16, f.y, f.b, f.prior_mean, f.prior_inv_var,
                     f.ll_scale)
-            return lambda z: normal_vg_reference_bf16(
+            return lambda z: _jit_normal_vg_bf16(
                 z, x16, f.y, f.b, f.u, f.c0, f.prior_mean,
                 f.prior_inv_var, f.ll_scale)
         if f.family == "bernoulli_logit":
@@ -503,13 +524,13 @@ class FusedFamily(NamedTuple):
                 return lambda z: bernoulli_vg_pallas(
                     z, f.x, f.y, f.b, f.prior_mean, f.prior_inv_var,
                     f.ll_scale, interpret=interpret)
-            return lambda z: bernoulli_vg_reference(
+            return lambda z: _jit_bernoulli_vg(
                 z, f.x, f.y, f.b, f.prior_mean, f.prior_inv_var, f.ll_scale)
         if use_pallas:
             return lambda z: normal_vg_pallas(
                 z, f.x, f.y, f.b, f.u, f.c0, f.prior_mean, f.prior_inv_var,
                 f.ll_scale, interpret=interpret)
-        return lambda z: normal_vg_reference(
+        return lambda z: _jit_normal_vg(
             z, f.x, f.y, f.b, f.u, f.c0, f.prior_mean, f.prior_inv_var,
             f.ll_scale)
 

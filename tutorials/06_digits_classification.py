@@ -16,7 +16,9 @@ import os
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax
 
-if jax.default_backend() not in ("tpu",):
+# The axon TPU plugin reports default_backend()=="tpu" and ignores
+# JAX_PLATFORMS, so TPU execution must be an explicit opt-in
+if not bool(int(os.environ.get("TUTORIAL_TPU", "0"))):
     jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
