@@ -375,6 +375,18 @@ def _pipelined_sampling(
     draws ahead of the slowest stalls (idles) until the row frees; the
     slowest chain never stalls, so there is no deadlock.
 
+    MEASURED OUTCOME on axon (2026-08-21, non-centered ARD headline
+    config, C=1024): the ring delivers the iteration saving — 11,400
+    sampling iterations vs lockstep's 25,176 (2.2x, hardware-
+    independent count) — but the engine still pays ~7x per iteration
+    there, because the per-chain checkpoint-stack writes (``z_ck`` etc.
+    with a [C]-vector slot index) are true scatters that copy their
+    [C, kdim, d] buffers every iteration, and the per-iteration
+    momentum-refresh/draw-start select blocks run every iteration
+    instead of once per draw.  Lockstep therefore remains the default
+    and bench engine on this backend; on backends whose compiler
+    aliases scatters in place the 2.2x is the expected net win.
+
     RNG: per-iteration keys fold_in(key, it) — a different (but equally
     valid) stream than the lockstep engine, so results are
     deterministic per seed but not bit-equal across engines (and the
