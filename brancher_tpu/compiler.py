@@ -1585,14 +1585,23 @@ class CompiledModel:
                     tr = transform_for(w.distribution, pw)
                     vals[w.name] = tr.forward(z[w.name])
             p = self._expand_plate(v2, v2.eval_params(vals, store))
+            jac = None
             if v2.name in assign:
                 value = assign[v2.name]
             elif vdeps & set(assign):
                 if v2.is_observed:
                     value = self._observed_value(v2, vals, store)
                 else:
+                    # assignment-dependent support transform: the
+                    # z-space density needs the log-Jacobian at THIS
+                    # assignment's bounds, exactly as the scalar
+                    # _term_table adds it (a round-4 review caught this
+                    # path silently dropping it: 0.1-nat marginal error
+                    # on interval latents with discrete-dependent
+                    # bounds)
                     tr = transform_for(v2.distribution, p)
                     value = tr.forward(z[v2.name])
+                    jac = tr.forward_log_det(z[v2.name])
             else:
                 value = base_vals[v2.name]
             lp = v2.distribution.log_prob(value, **p)
@@ -1601,17 +1610,26 @@ class CompiledModel:
                 lp = lp * mask
             if v2.log_prob_scale != 1.0:
                 lp = v2.log_prob_scale * lp
-            shp = tuple(jnp.shape(lp))
+
             ps = tuple(plate_shape)
-            if shp == ps:
-                return lp.reshape(n_elem)
-            if shp[: len(ps)] == ps:
-                extra = tuple(range(len(ps), len(shp)))
-                return jnp.sum(lp, axis=extra).reshape(n_elem)
-            raise ValueError(
-                f"term {v2.name!r} has per-element shape {shp}, not "
-                f"alignable to plate {ps}"
-            )
+
+            def align(x):
+                shp = tuple(jnp.shape(x))
+                if shp == ps:
+                    return x.reshape(n_elem)
+                if shp[: len(ps)] == ps:
+                    ax = tuple(range(len(ps), len(shp)))
+                    return jnp.sum(x, axis=ax).reshape(n_elem)
+                raise ValueError(
+                    f"term {v2.name!r} has per-element shape {shp}, not "
+                    f"alignable to plate {ps}"
+                )
+
+            out = align(lp)
+            if jac is not None:
+                # unscaled, matching _term_table's `extra` semantics
+                out = out + align(jac)
+            return out
 
         return term_vec
 
@@ -1684,10 +1702,6 @@ class CompiledModel:
             alpha_last, alphas = jax.lax.scan(fstep, alpha0, (psi, u[1:]))
             total = total + lse(alpha_last)
             if return_marginals:
-                def bstep(beta, xs):
-                    psi_t, u_t = xs
-                    return lse(psi_t + (u_t + beta)[None, :], axis=1), None
-
                 def bstep_collect(beta, xs):
                     psi_t, u_t = xs
                     nb = lse(psi_t + (u_t + beta)[None, :], axis=1)

@@ -123,6 +123,13 @@ def _content_key(tree) -> Optional[Tuple]:
         out = []
         for k, v in items:
             a = np.asarray(v)
+            if a.nbytes > (1 << 24):
+                # hashing (and the device->host transfer behind
+                # np.asarray) a 100s-of-MB conditioning array on EVERY
+                # sample() call would dominate the wrapper cost the
+                # cache exists to remove — fall back to the fresh-
+                # closure path instead
+                return None
             out.append((k, a.shape, str(a.dtype),
                         hashlib.sha1(a.tobytes()).hexdigest()))
         return tuple(out)
@@ -526,6 +533,12 @@ def sample(
     # conditioned call previously rebuilt the closure and paid a full
     # engine retrace); unhashable content falls back to a fresh closure.
     gck = _content_key(given) if given else ()
+    if given and gck is not None:
+        # snapshot to immutable device arrays: a caller mutating their
+        # numpy conditioning array in place after this call could
+        # otherwise desync a cached closure from its content key
+        # (round-4 review finding)
+        given = {k: jnp.asarray(v) for k, v in given.items()}
     if params is comp.initial_params and gck is not None:
         potential_fn, unravel, _ = _comp_cache(
             comp, "_potential_cache_by_given", gck,
@@ -706,6 +719,7 @@ def sample(
             kernel, potential_fn, value_and_grad_fn, z0, warm_a, draws_a,
             k_a, target_accept, init_step_size, mesh, chain_axis,
             inv_mass0=inv_mass0, adapt_step_size=adapt_step_size,
+            jit_runner=jit_runner,
         )
         flatA = zsA.reshape(-1, zsA.shape[-1])
         mu_c = jnp.mean(flatA, axis=0)
@@ -748,6 +762,7 @@ def sample(
             kernel, potential_t, vg_t, zt0, num_warmup - warm_a,
             num_samples, k_b, target_accept, init_step_size, mesh,
             chain_axis, adapt_step_size=adapt_step_size,
+            jit_runner=jit_runner,
         )
         zs = mu_c[None, None, :] + jnp.einsum("csd,ed->cse", zs_t, L)
         info = dict(info)
@@ -886,6 +901,15 @@ def sample(
                 raise ValueError(
                     f"ess_vars {missing} not in collected samples "
                     f"(available: {sorted(samples)})"
+                )
+            conditioned = [n for n in diag_names if given and n in given]
+            if conditioned:
+                # the loop below skips conditioned names (0/0 R-hat);
+                # an EXPLICIT request for one must fail loudly, not
+                # KeyError far downstream
+                raise ValueError(
+                    f"ess_vars {conditioned} are conditioned via `given` "
+                    f"— constant across draws, no ESS/R-hat"
                 )
         else:
             diag_names = list(comp.continuous_latent_names)

@@ -236,11 +236,12 @@ def perform_inference(
     scan_unroll: unroll factor for the training-step lax.scan.  Small
     per-step programs (e.g. the B=256/h=64 bench VAE at ~70 us/step)
     are bound by per-iteration loop/launch overhead, not compute;
-    unrolling amortizes it (measured on-chip: scripts/exp_elbo_unroll.py,
-    BASELINE.md "ELBO step cost" note).  number_iterations need not be a
-    multiple of the unroll factor (lax.scan requires it, so the driver
-    rounds the iteration count UP to the next multiple; the loss curve
-    is truncated back to number_iterations).
+    unrolling amortizes it — though only by ~9% at the bench shape,
+    whose cost is per-KERNEL launch latency inside the step body
+    (measured on-chip: scripts/exp_elbo_unroll.py, BASELINE.md "ELBO
+    step cost" note).  Non-divisible number_iterations runs an unrolled
+    main scan plus a rolled remainder — exactly number_iterations
+    optimizer steps either way.
     """
     import optax
 
@@ -355,16 +356,33 @@ def perform_inference(
                 )
             return (opt_params, opt_state), loss
 
-        n_iter = number_iterations
-        if scan_unroll > 1:
-            n_iter = -(-number_iterations // scan_unroll) * scan_unroll
-        keys = jax.random.split(key, n_iter)
-        steps = jnp.arange(n_iter)
-        (opt_params, opt_state), losses = jax.lax.scan(
-            step, (opt_params, opt_state), (keys, steps),
-            unroll=scan_unroll,
-        )
-        return opt_params, losses[:number_iterations]
+        keys = jax.random.split(key, number_iterations)
+        steps = jnp.arange(number_iterations)
+        if scan_unroll > 1 and number_iterations % scan_unroll:
+            # exact semantics for non-divisible counts: an unrolled main
+            # scan plus a rolled remainder (rounding UP would run extra
+            # optimizer steps and silently return different params)
+            n_main = (number_iterations // scan_unroll) * scan_unroll
+            carry = (opt_params, opt_state)
+            losses_parts = []
+            if n_main:
+                carry, l_main = jax.lax.scan(
+                    step, carry, (keys[:n_main], steps[:n_main]),
+                    unroll=scan_unroll,
+                )
+                losses_parts.append(l_main)
+            carry, l_rest = jax.lax.scan(
+                step, carry, (keys[n_main:], steps[n_main:])
+            )
+            losses_parts.append(l_rest)
+            (opt_params, opt_state) = carry
+            losses = jnp.concatenate(losses_parts)
+        else:
+            (opt_params, opt_state), losses = jax.lax.scan(
+                step, (opt_params, opt_state), (keys, steps),
+                unroll=scan_unroll,
+            )
+        return opt_params, losses
 
     import time as _time
 
