@@ -293,10 +293,11 @@ def _run_vectorized(
                 max_leapfrog=kernel.max_leapfrog, adam_lr=kernel.adam_lr,
                 axis_name=axis_name, inv_mass0=inv_mass0, mass=kernel.mass,
                 leapfrog_fn=leapfrog_fn,
+                max_delta_energy=getattr(kernel, "max_delta_energy", 1000.0),
             )
             stats = {
                 "accept_prob": res.accept_prob,
-                "diverging": jnp.zeros_like(res.accept_prob, dtype=bool),
+                "diverging": res.diverging,
                 "num_steps": jnp.broadcast_to(
                     res.num_leapfrog[None, :], res.accept_prob.shape
                 ),
@@ -312,11 +313,12 @@ def _run_vectorized(
                 target_accept=target_accept, init_step_size=init_eps,
                 jitter_steps=kernel.jitter_steps, axis_name=axis_name,
                 inv_mass0=inv_mass0, leapfrog_fn=leapfrog_fn,
+                max_delta_energy=getattr(kernel, "max_delta_energy", 1000.0),
             )
             c = z0_shard.shape[0]
             stats = {
                 "accept_prob": res.accept_prob,
-                "diverging": jnp.zeros_like(res.accept_prob, dtype=bool),
+                "diverging": res.diverging,
                 "num_steps": jnp.full(
                     res.accept_prob.shape,
                     (kernel.num_integration_steps + 1) // 2
@@ -896,12 +898,9 @@ def sample(
             # the centered node of a NonCenteredNormalVariable) — anything
             # collected in `samples`
             diag_names = list(ess_vars)
-            missing = [n for n in diag_names if n not in samples]
-            if missing:
-                raise ValueError(
-                    f"ess_vars {missing} not in collected samples "
-                    f"(available: {sorted(samples)})"
-                )
+            # conditioned-name check FIRST: a name that is conditioned AND
+            # not collected should get this specific diagnostic, not the
+            # generic not-in-samples one (ADVICE r4 #3)
             conditioned = [n for n in diag_names if given and n in given]
             if conditioned:
                 # the loop below skips conditioned names (0/0 R-hat);
@@ -910,6 +909,12 @@ def sample(
                 raise ValueError(
                     f"ess_vars {conditioned} are conditioned via `given` "
                     f"— constant across draws, no ESS/R-hat"
+                )
+            missing = [n for n in diag_names if n not in samples]
+            if missing:
+                raise ValueError(
+                    f"ess_vars {missing} not in collected samples "
+                    f"(available: {sorted(samples)})"
                 )
         else:
             diag_names = list(comp.continuous_latent_names)

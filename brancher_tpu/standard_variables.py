@@ -190,9 +190,11 @@ def NonCenteredNormalVariable(loc, scale, name=None, shape=None,
     from .variables import PartialLink, Variable
 
     if shape is None:
+        symbolic = [
+            isinstance(a, (Variable, PartialLink)) for a in (loc, scale)
+        ]
         shapes = [
-            np.shape(a) for a in (loc, scale)
-            if not isinstance(a, (Variable, PartialLink))
+            np.shape(a) for a, sym in zip((loc, scale), symbolic) if not sym
         ]
         if not shapes:
             raise ValueError(
@@ -200,6 +202,21 @@ def NonCenteredNormalVariable(loc, scale, name=None, shape=None,
                 "scale are variables/expressions"
             )
         shape = np.broadcast_shapes(*shapes)
+        if any(symbolic) and shape == ():
+            # ADVICE r4 #1: the DSL carries no shapes before compile, so a
+            # symbolic operand (e.g. a vector hierarchy scale tau) cannot
+            # contribute here — inferring () from the remaining scalars
+            # would silently build ONE shared raw draw broadcast across
+            # every component of the symbolic operand: a different joint
+            # distribution than the per-component hierarchy the user
+            # almost certainly intended.  Require the shape explicitly.
+            raise ValueError(
+                "NonCenteredNormalVariable: loc/scale includes a variable/"
+                "expression whose shape is unknown at model-build time and "
+                "the concrete operands are all scalar — pass shape= "
+                "explicitly (shape=() if a single shared raw draw is "
+                "really intended)"
+            )
     shape = tuple(shape)
     raw = NormalVariable(
         np.zeros(shape, np.float32), np.ones(shape, np.float32),

@@ -68,6 +68,20 @@ def test_shape_inference_and_errors():
         NonCenteredNormalVariable(mu, tau, name="b")
 
 
+def test_symbolic_scale_scalar_loc_requires_shape():
+    # ADVICE r4 #1: a vector random scale with loc=0.0 must NOT silently
+    # infer shape=() (one shared raw draw across all components)
+    tau = LogNormalVariable(jnp.zeros(3), jnp.ones(3), "tau3")
+    with pytest.raises(ValueError, match="shape= explicitly"):
+        NonCenteredNormalVariable(0.0, tau, name="w3")
+    # explicit shape=() remains expressible for a genuinely shared raw
+    w = NonCenteredNormalVariable(0.0, tau, name="w3", shape=())
+    assert w.raw.name == "w3_raw"
+    # a non-scalar concrete operand still pins the shape without shape=
+    w2 = NonCenteredNormalVariable(np.zeros(3), tau, name="w4")
+    assert w2.raw.name == "w4_raw"
+
+
 def test_ess_vars_unknown_name_raises():
     x = NormalVariable(0.0, 1.0, "x")
     y = NormalVariable(x, 1.0, "y", observed=jnp.zeros(3))
