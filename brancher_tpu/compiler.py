@@ -1212,12 +1212,15 @@ class CompiledModel:
             fn = self.enumerated_log_density
         elif (self.discrete_chain_info(params, given) is not None
               and self.discrete_chain_structure(gk) is not None):
+            self._warn_unrolled_enum(gk, chain=True)
             fn = self.chain_enumerated_log_density
         else:
             info = self.discrete_enum_info(params, given)
             if info and all(tuple(s) == () for _n, s, _k in info):
+                self._warn_unrolled_enum(gk, chain=False)
                 fn = self.factor_enumerated_log_density
             elif self.check_chain_factorization(params, given):
+                self._warn_unrolled_enum(gk, chain=True)
                 fn = self.chain_enumerated_log_density
             elif self.check_group_factorization(params, given):
                 fn = self.group_enumerated_log_density
@@ -1234,6 +1237,39 @@ class CompiledModel:
         if cacheable:
             cache[gk] = fn
         return fn
+
+    _UNROLLED_ENUM_WARN_AT = 64
+
+    def _warn_unrolled_enum(self, gk, chain: bool) -> None:
+        """One actionable performance warning when an O(T)-trace
+        enumeration (per-node tables for T unrolled scalar latents) is
+        about to build a large program (VERDICT r4 missing #4).  An
+        unrolled T-node DSL chain is inherently O(T) at trace time —
+        every node is a distinct graph object with its own links — so
+        past the threshold we loudly steer chain-shaped models to the
+        ``MarkovSeries`` sequence node, whose forward-algorithm table
+        extraction traces O(1) in T (compiler sequence path;
+        scripts/exp_enum_sequence.py)."""
+        n = len([x for x in self.discrete_latent_names if x not in gk])
+        if n <= self._UNROLLED_ENUM_WARN_AT:
+            return
+        import warnings
+
+        fix = (
+            "rewrite the chain with stochastic_processes.MarkovSeries "
+            "(or GaussianHMM/EmissionHMM), whose sequence-node "
+            "enumeration traces and compiles O(1) in T"
+            if chain else
+            "if the structure is a repeated (chain-like) pattern, "
+            "rewrite it with stochastic_processes.MarkovSeries for "
+            "O(1)-in-T compilation"
+        )
+        warnings.warn(
+            f"enumerating {n} unrolled discrete latents builds O(T) "
+            f"per-node tables at trace time — compile time grows with "
+            f"the chain length; {fix}",
+            stacklevel=4,
+        )
 
     # ------------------------------------------------------------------
     # Chain-structured enumeration (ROADMAP r2 #7): interacting discrete

@@ -202,6 +202,26 @@ def test_chain_enumerated_matches_bruteforce():
         assert abs(float(marg[f"s{t}"][1]) - p1) < 1e-3, (t, p1)
 
 
+def test_long_unrolled_chain_warns_and_steers_to_markov_series():
+    """VERDICT r4 missing #4: an unrolled T-node DSL chain traces O(T)
+    through the per-node table builders; past the threshold the dispatch
+    must emit ONE actionable warning naming MarkovSeries (the O(1)-in-T
+    sequence-node alternative) — and small chains must stay silent."""
+    import warnings
+
+    t_n = 80  # > CompiledModel._UNROLLED_ENUM_WARN_AT (64)
+    data, _ = _make_chain_data(t_n=t_n)
+    comp = _chain_hmm_model(data).compiled()
+    with pytest.warns(UserWarning, match="MarkovSeries"):
+        comp.enum_log_density_fn(comp.initial_params)
+
+    small, _ = _make_chain_data(t_n=6)
+    comp_small = _chain_hmm_model(small).compiled()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        comp_small.enum_log_density_fn(comp_small.initial_params)
+
+
 def _chain_posterior_quadrature(comp):
     """Exact posterior mean/sd of the scalar mu by quadrature over the
     chain-marginalized density (mu's unconstrained transform = identity)."""
