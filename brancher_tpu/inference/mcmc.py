@@ -912,6 +912,15 @@ def sample(
         raise ValueError(f"unknown chain_method {chain_method!r}")
 
     jax.block_until_ready(zs)
+    # this backend's block_until_ready can return EARLY for eagerly-
+    # dispatched programs (measured round 5: 10 s early on a 50 s
+    # engine run, scripts/exp_timing_groundtruth.py) — a 4-byte host
+    # fetch cannot complete before the computation does, so it is the
+    # true sync for the timer
+    try:
+        float(zs[0, -1, 0])
+    except Exception:
+        pass  # multi-host: element may be non-addressable; block stands
     _sampler_seconds = _time.time() - _t_engine
 
     # -- constrain + collect -----------------------------------------------

@@ -83,7 +83,13 @@ class _S(NamedTuple):
     s_lw: Array; s_cum: Array
     sp_z: Array; sp_val: Array; sp_grad: Array
     s_failed: Array
-    z_ck: Array; r_ck: Array; rs_ck: Array
+    # checkpoint stacks, DEPTH-MAJOR [kdim, C, d] (round 5): slot writes
+    # are contiguous [1, C, d] rows instead of the strided [C, 1, d]
+    # writes of the old chain-major layout.  Only the momentum and the
+    # momentum-sum are stored — the generalized (Stan-style) U-turn
+    # criterion never reads checkpoint POSITIONS, so the z stack the
+    # engine carried through round 4 was dead weight.
+    r_ck: Array; rs_ck: Array
     # flags / stats
     dirn: Array
     active: Array
@@ -132,9 +138,8 @@ def nuts_transition_batched(
         s_lw=jnp.full((c,), -jnp.inf, dtype), s_cum=zeros_cd,
         sp_z=z, sp_val=val, sp_grad=grad,
         s_failed=jnp.zeros((c,), bool),
-        z_ck=jnp.zeros((c, kdim, d), dtype),
-        r_ck=jnp.zeros((c, kdim, d), dtype),
-        rs_ck=jnp.zeros((c, kdim, d), dtype),
+        r_ck=jnp.zeros((kdim, c, d), dtype),
+        rs_ck=jnp.zeros((kdim, c, d), dtype),
         dirn=jnp.ones((c,), dtype),
         active=jnp.ones((c,), bool),
         diverging=jnp.zeros((c,), bool),
@@ -202,12 +207,12 @@ def nuts_transition_batched(
         even = (m % 2) == 0
 
         def store(ck, new_val):
+            # depth-major: one contiguous [1, C, d] row at scalar slot pc
             updated = jax.lax.dynamic_update_slice_in_dim(
-                ck, new_val[:, None, :], pc, axis=1
+                ck, new_val[None], pc, axis=0
             )
             return jnp.where(even, updated, ck)
 
-        z_ck = store(s.z_ck, z_new)
         r_ck = store(s.r_ck, r_new)
         rs_ck = store(s.rs_ck, s_cum)
 
@@ -220,13 +225,13 @@ def nuts_transition_batched(
         sp_grad = jnp.where((live & swap)[:, None], grad_new, s.sp_grad)
 
         # --- U-turn checks vs checkpoint stack (odd leaves) ---------------
-        # one batched sweep over all K slots ([C,K,d] einsums) with a [K]
+        # one batched sweep over all K slots ([K,C,d] einsums) with a [K]
         # range mask — a single fused op instead of an unrolled slot loop
         # (major compile-time win for the while body)
-        rho_all = s_cum_new[:, None, :] - rs_ck  # [C, K, d]
-        dot_a = jnp.einsum("ckd,ckd->ck", rho_all, r_ck * inv_mass[None, None, :])
-        vb = (r_new * inv_mass[None, :])[:, None, :]
-        dot_b = jnp.einsum("ckd,ckd->ck", rho_all, jnp.broadcast_to(vb, rho_all.shape))
+        rho_all = s_cum_new[None, :, :] - rs_ck  # [K, C, d]
+        dot_a = jnp.einsum("kcd,kcd->ck", rho_all, r_ck * inv_mass[None, None, :])
+        vb = (r_new * inv_mass[None, :])[None, :, :]
+        dot_b = jnp.einsum("kcd,kcd->ck", rho_all, jnp.broadcast_to(vb, rho_all.shape))
         turn_all = jnp.logical_or(dot_a <= 0.0, dot_b <= 0.0)  # [C, K]
         slot_ids = jnp.arange(kdim, dtype=jnp.int32)
         in_range = jnp.logical_and(slot_ids >= pc - t_ones, slot_ids < pc)  # [K]
@@ -284,7 +289,7 @@ def nuts_transition_batched(
             s_lw=s_lw, s_cum=s_cum,
             sp_z=sp_z, sp_val=sp_val, sp_grad=sp_grad,
             s_failed=s_failed,
-            z_ck=z_ck, r_ck=r_ck, rs_ck=rs_ck,
+            r_ck=r_ck, rs_ck=rs_ck,
             dirn=dirn, active=active, diverging=diverging,
             sum_acc=sum_acc, cnt=cnt,
         )
@@ -324,20 +329,24 @@ class _PS(NamedTuple):
     s_lw: Array; s_cum: Array
     sp_z: Array; sp_val: Array; sp_grad: Array
     s_failed: Array
-    z_ck: Array; r_ck: Array; rs_ck: Array
+    # depth-major checkpoint stacks [kdim, C, d] (ROADMAP r4 #10 /
+    # VERDICT r4 weak #1): per-chain slot indices made the old
+    # chain-major stacks vector-index scatters (ck.at[cidx, pc].set),
+    # which this backend lowers to a serialized per-chain scatter —
+    # the dominant per-iteration cost of the round-4 engine.  Slot-major
+    # rows are now written with STATIC-index masked selects (see body).
+    r_ck: Array; rs_ck: Array
     dirn: Array
     active: Array  # [C] current tree still growing
     dvg_draw: Array  # [C] divergence seen this draw
     sum_acc: Array; cnt: Array
     # lookahead-B output ring (ROADMAP r3 #4): chains write completed
-    # draws into slot (draw % B); row B is the dump row for non-finished
-    # lanes.  The ring is SMALL, so the backend's scatter-copies-the-
-    # whole-buffer penalty is ~1 MB/iter instead of the 131 MB/iter the
-    # old [S+1, C, d] direct scatter paid (exp_scatter_in_while.py).
-    ring_z: Array  # [B+1, C, d]
-    ring_acc: Array  # [B+1, C]
-    ring_dvg: Array  # [B+1, C]
-    ring_cnt: Array  # [B+1, C]
+    # draws into slot (draw % B).  Round 5: ring rows are also written
+    # with static-slot masked selects (no dump row, no vector scatter).
+    ring_z: Array  # [B, C, d]
+    ring_acc: Array  # [B, C]
+    ring_dvg: Array  # [B, C]
+    ring_cnt: Array  # [B, C]
     flushed: Array  # scalar: rows already copied to the output buffers
     # output buffers, flushed one shared row at a time via
     # dynamic_update_slice (aliases in place on every backend measured)
@@ -375,17 +384,16 @@ def _pipelined_sampling(
     draws ahead of the slowest stalls (idles) until the row frees; the
     slowest chain never stalls, so there is no deadlock.
 
-    MEASURED OUTCOME on axon (2026-08-21, non-centered ARD headline
-    config, C=1024): the ring delivers the iteration saving — 11,400
-    sampling iterations vs lockstep's 25,176 (2.2x, hardware-
-    independent count) — but the engine still pays ~7x per iteration
-    there, because the per-chain checkpoint-stack writes (``z_ck`` etc.
-    with a [C]-vector slot index) are true scatters that copy their
-    [C, kdim, d] buffers every iteration, and the per-iteration
-    momentum-refresh/draw-start select blocks run every iteration
-    instead of once per draw.  Lockstep therefore remains the default
-    and bench engine on this backend; on backends whose compiler
-    aliases scatters in place the 2.2x is the expected net win.
+    ROUND-5 LAYOUT (ROADMAP r4 #10 / VERDICT r4 weak #1): the round-4
+    engine paid ~7x per iteration vs lockstep on axon because its
+    per-chain checkpoint writes (``ck.at[cidx, pc].set`` on chain-major
+    [C, kdim, d] stacks) and ring writes were VECTOR-INDEX SCATTERS,
+    which this backend serializes per chain.  The stacks are now
+    depth-major [kdim, C, d] and every slot write is a static-index
+    masked SELECT (elementwise, aliasable); the ring likewise.  There
+    is no scatter of any kind left in the loop body.  See BASELINE.md
+    round-5 table for the re-measured lockstep-vs-pipelined numbers on
+    the headline config.
 
     RNG: per-iteration keys fold_in(key, it) — a different (but equally
     valid) stream than the lockstep engine, so results are
@@ -399,7 +407,6 @@ def _pipelined_sampling(
     max_n = jnp.asarray(2**max_depth, jnp.int32)
     s_len = num_samples
     B = max(2, min(int(lookahead), s_len))
-    cidx = jnp.arange(c)
     neg_inf = jnp.full((c,), -jnp.inf, dtype)
     zeros_c = jnp.zeros((c,), dtype)
     zeros_cd = jnp.zeros((c, d), dtype)
@@ -417,22 +424,16 @@ def _pipelined_sampling(
         s_lw=neg_inf, s_cum=zeros_cd,
         sp_z=z, sp_val=val, sp_grad=grad,
         s_failed=jnp.zeros((c,), bool),
-        z_ck=jnp.zeros((c, kdim, d), dtype),
-        r_ck=jnp.zeros((c, kdim, d), dtype),
-        rs_ck=jnp.zeros((c, kdim, d), dtype),
+        r_ck=jnp.zeros((kdim, c, d), dtype),
+        rs_ck=jnp.zeros((kdim, c, d), dtype),
         dirn=jnp.ones((c,), dtype),
         active=jnp.zeros((c,), bool),
         dvg_draw=jnp.zeros((c,), bool),
         sum_acc=zeros_c, cnt=zeros_c,
-        # one extra DUMP row: non-finished chains scatter there, so the
-        # write needs no read-modify-select — a pure scatter XLA can do
-        # in place (the gather+select variant forced a full buffer copy
-        # per iteration: measured 1.7 ms/iter = one 131 MB copy at HBM
-        # speed at bench scale)
-        ring_z=jnp.zeros((B + 1, c, d), dtype),
-        ring_acc=jnp.zeros((B + 1, c), dtype),
-        ring_dvg=jnp.zeros((B + 1, c), bool),
-        ring_cnt=jnp.zeros((B + 1, c), dtype),
+        ring_z=jnp.zeros((B, c, d), dtype),
+        ring_acc=jnp.zeros((B, c), dtype),
+        ring_dvg=jnp.zeros((B, c), bool),
+        ring_cnt=jnp.zeros((B, c), dtype),
         flushed=jnp.zeros((), jnp.int32),
         zs_out=jnp.zeros((s_len, c, d), dtype),
         acc_out=jnp.zeros((s_len, c), dtype),
@@ -525,12 +526,21 @@ def _pipelined_sampling(
         sum_acc = sum_acc + jnp.where(live, acc, 0.0)
         cnt = cnt + jnp.where(live, 1.0, 0.0)
 
-        # --- checkpoints: per-chain slot pc (scatter, masked on even) -----
-        def store(ck, new_val):
-            updated = ck.at[cidx, pc].set(new_val)
-            return jnp.where((even & live)[:, None, None], updated, ck)
+        # --- checkpoints: depth-major static-slot masked selects ----------
+        # (the shared-slot layout, ROADMAP r4 #10): slot k's row is a
+        # fixed [C, d] buffer updated by an ELEMENTWISE select on the
+        # per-chain mask (pc == k) — no vector-index scatter anywhere in
+        # the loop body.  kdim selects cost ~2·kdim·C·d bytes of VPU
+        # traffic per iteration vs the serialized per-chain scatter the
+        # old ck.at[cidx, pc].set lowered to on this backend.
+        wmask = even & live
 
-        z_ck = store(s.z_ck, z_new)
+        def store(ck, new_val):
+            return jnp.stack([
+                jnp.where((wmask & (pc == k))[:, None], new_val, ck[k])
+                for k in range(kdim)
+            ])
+
         r_ck = store(s.r_ck, r_new)
         rs_ck = store(s.rs_ck, s_cum)
 
@@ -543,10 +553,10 @@ def _pipelined_sampling(
         sp_grad = jnp.where((live & swap)[:, None], grad_new, s.sp_grad)
 
         # --- U-turn checks vs the checkpoint stack (odd leaves) -----------
-        rho_all = s_cum_new[:, None, :] - rs_ck
-        dot_a = jnp.einsum("ckd,ckd->ck", rho_all, r_ck * inv_mass[None, None, :])
-        vb = (r_new * inv_mass[None, :])[:, None, :]
-        dot_b = jnp.einsum("ckd,ckd->ck", rho_all,
+        rho_all = s_cum_new[None, :, :] - rs_ck  # [K, C, d]
+        dot_a = jnp.einsum("kcd,kcd->ck", rho_all, r_ck * inv_mass[None, None, :])
+        vb = (r_new * inv_mass[None, :])[None, :, :]
+        dot_b = jnp.einsum("kcd,kcd->ck", rho_all,
                            jnp.broadcast_to(vb, rho_all.shape))
         turn_all = jnp.logical_or(dot_a <= 0.0, dot_b <= 0.0)
         slot_ids = jnp.arange(kdim, dtype=jnp.int32)
@@ -607,13 +617,24 @@ def _pipelined_sampling(
             jnp.logical_or(jnp.logical_not(active_new), budget_out),
         )
 
-        # --- write completed draws into the ring (dump row = B) -----------
-        row = jnp.where(finished, s.draw % B, B)
+        # --- write completed draws into the ring: static-slot selects -----
+        # (no vector scatter, no dump row — each row is an elementwise
+        # select on the per-chain mask "finished and this is my slot")
         acc_prob = sum_acc / jnp.maximum(cnt, 1.0)
-        ring_z = s.ring_z.at[row, cidx].set(prop_z)
-        ring_acc = s.ring_acc.at[row, cidx].set(acc_prob)
-        ring_dvg = s.ring_dvg.at[row, cidx].set(dvg_draw)
-        ring_cnt = s.ring_cnt.at[row, cidx].set(cnt)
+        row_m = [finished & (s.draw % B == b) for b in range(B)]
+        ring_z = jnp.stack([
+            jnp.where(row_m[b][:, None], prop_z, s.ring_z[b])
+            for b in range(B)
+        ])
+        ring_acc = jnp.stack([
+            jnp.where(row_m[b], acc_prob, s.ring_acc[b]) for b in range(B)
+        ])
+        ring_dvg = jnp.stack([
+            jnp.where(row_m[b], dvg_draw, s.ring_dvg[b]) for b in range(B)
+        ])
+        ring_cnt = jnp.stack([
+            jnp.where(row_m[b], cnt, s.ring_cnt[b]) for b in range(B)
+        ])
 
         draw = s.draw + finished.astype(jnp.int32)
 
@@ -661,7 +682,7 @@ def _pipelined_sampling(
             s_lw=s_lw, s_cum=s_cum,
             sp_z=sp_z, sp_val=sp_val, sp_grad=sp_grad,
             s_failed=s_failed,
-            z_ck=z_ck, r_ck=r_ck, rs_ck=rs_ck,
+            r_ck=r_ck, rs_ck=rs_ck,
             dirn=dirn, active=active_new, dvg_draw=dvg_draw,
             sum_acc=sum_acc, cnt=cnt,
             ring_z=ring_z, ring_acc=ring_acc, ring_dvg=ring_dvg,

@@ -56,16 +56,29 @@ def main():
         prior_mean=jnp.zeros((D,), jnp.float32),
         prior_inv_var=jnp.ones((D,), jnp.float32), ll_scale=1.0,
     )
-    modes = [
-        ("pallas_f32", fam.value_and_grad(use_pallas=True)),
-        ("bf16", fam.value_and_grad(dtype="bf16")),
-        ("xla_f32", fam.value_and_grad(use_pallas=False)),
+    # builders, not closures: at MXU scale each mode holds its own copy
+    # of the (padded / bf16-cast) design matrix — building all four up
+    # front wastes GBs of HBM.  MODES env var filters (comma-separated).
+    mode_builders = [
+        ("pallas_f32", lambda: fam.value_and_grad(use_pallas=True)),
+        ("pallas_bf16", lambda: fam.value_and_grad(use_pallas=True,
+                                                   dtype="bf16")),
+        ("xla_bf16", lambda: fam.value_and_grad(use_pallas=False,
+                                                dtype="bf16")),
+        ("xla_f32", lambda: fam.value_and_grad(use_pallas=False)),
     ]
+    sel = os.environ.get("MODES")
+    if sel:
+        keep = set(sel.split(","))
+        mode_builders = [(n, b) for n, b in mode_builders if n in keep]
+    modes = mode_builders
     flops_eval = 4.0 * C * N * D
 
     # -- A: bare potential, 32 chained evals (eager scan dispatch) ----------
     z0 = jnp.asarray(rng.uniform(-0.5, 0.5, (C, D)).astype(np.float32))
-    for name, vg in ([] if SKIP_BARE else modes):
+    for name, build in ([] if SKIP_BARE else modes):
+        vg = build()
+
         def chain32(z, vg=vg):
             def body(carry, _):
                 val, grad = vg(carry)
@@ -77,10 +90,12 @@ def main():
         dt = (time.perf_counter() - t0) / 32
         print(f"A bare {name:10s}: {dt*1e3:7.2f} ms/eval  "
               f"{flops_eval/dt/1e12:6.1f} TFLOP/s", flush=True)
+        del vg
 
     # -- B: HMC through sample(), static L ---------------------------------
     model = logistic_regression_model(x, y)
-    for name, vg in modes:
+    for name, build in modes:
+        vg = build()
         kwargs = dict(
             kernel=HMC(num_integration_steps=L, jitter_steps=False),
             num_samples=DRAWS, num_warmup=WARMUP, num_chains=C,
@@ -100,6 +115,7 @@ def main():
         print(f"B HMC  {name:10s}: first {t_first:6.1f}s  sampler {t_s:6.2f}s "
               f"({per_draw:6.1f} ms/draw, {per_draw/L:5.2f} ms/leapfrog)  "
               f"{tf:6.1f} TFLOP/s  accept {acc:.2f}", flush=True)
+        del vg, res
 
 
 if __name__ == "__main__":
