@@ -57,6 +57,15 @@ import time
 
 N_POINTS, DIM = 1000, 32
 CHAINS, WARMUP, DRAWS = 1024, 500, 1000
+# ARD headline draws (round 5, VERDICT r4 #3): the tuning sweep
+# (scripts/exp_headline_tune.py, 2026-08-21) measured W500/D2000 at
+# 181-193k ess/sec (43% of cap, 41 divergences, r-hat 1.001) vs the r4
+# W500/D1000 baseline's 109k (29%).  Warmup cuts collapse adaptation
+# (W300: 32k, div 106), D3000 and target_accept 0.92 both collapse
+# min-ESS via divergence-sticky excursions (9-10% cap, div 239/498) —
+# D2000 reproduced twice as the sweet spot.  The floor child keeps
+# DRAWS=1000 for round-over-round comparability.
+ARD_DRAWS = 2000
 MAX_DEPTH = 8
 
 # Headline config (round 4, VERDICT r3 #2 + #9): hierarchical ARD logreg
@@ -152,12 +161,12 @@ def child(engine: str) -> None:
 
 def child_ard(engine: str = "nuts") -> None:
     """THE HEADLINE: hierarchical ARD logreg, NON-CENTERED (w = tau *
-    w_raw via NonCenteredNormalVariable — VERDICT r3 #9), at the same
-    1024x1000 chain/draw shape.  min-ESS over {w, tau} genuinely < the
-    chains*draws cap (29% measured on chip at full scale), ~0
-    divergences at target_accept=0.95 (24 of 1.5M transitions), so
-    round-over-round sampler-efficiency progress is measurable
-    (VERDICT r3 #2).
+    w_raw via NonCenteredNormalVariable — VERDICT r3 #9), at
+    1024 chains x ARD_DRAWS (2000, tuned round 5 — see the constant's
+    comment).  min-ESS over {w, tau} genuinely < the chains*draws cap
+    (43% measured on chip at full scale), ~0 divergences at
+    target_accept=0.95 (41 of 2.5M transitions), so round-over-round
+    sampler-efficiency progress is measurable (VERDICT r3 #2).
 
     engine="chees" is the UNSATURATED-headline insurance: the ARD NUTS
     program cold-compiled in 577 s on 2026-08-21 (over the bench
@@ -233,7 +242,7 @@ def child_ard(engine: str = "nuts") -> None:
     kernel = (NUTS(max_depth=MAX_DEPTH) if engine == "nuts"
               else ChEESHMC())
     kwargs = dict(
-        kernel=kernel, num_samples=DRAWS,
+        kernel=kernel, num_samples=ARD_DRAWS,
         num_warmup=WARMUP, num_chains=CHAINS, key=jax.random.PRNGKey(0),
         chain_method="vectorized", target_accept=UNSAT_TARGET_ACCEPT,
         value_and_grad_fn=vg_fn, ess_vars=["w", "tau"],
@@ -253,7 +262,7 @@ def child_ard(engine: str = "nuts") -> None:
     out = {
         "engine": f"{engine}_ard_noncentered",
         "min_ess": float(np.min(ess)),
-        "ess_cap": float(CHAINS * DRAWS),
+        "ess_cap": float(CHAINS * ARD_DRAWS),
         "sampler_seconds": t_sampler,
         "first_seconds": t_first,
         "total_chain_steps_draws": int(res.diagnostics["total_leapfrog_steps"]),
@@ -611,7 +620,7 @@ def main() -> None:
         metric = (
             f"{label} min-ESS/sec/chip, hierarchical ARD logreg "
             f"(non-centered, min over w/tau) N={UNSAT_N} d={DIM}, "
-            f"{CHAINS} chains x {DRAWS} draws"
+            f"{CHAINS} chains x {ARD_DRAWS} draws"
         )
     else:
         label = "NUTS" if r["engine"] == "nuts" else "ChEES-HMC"

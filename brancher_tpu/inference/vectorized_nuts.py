@@ -391,9 +391,22 @@ def _pipelined_sampling(
     which this backend serializes per chain.  The stacks are now
     depth-major [kdim, C, d] and every slot write is a static-index
     masked SELECT (elementwise, aliasable); the ring likewise.  There
-    is no scatter of any kind left in the loop body.  See BASELINE.md
-    round-5 table for the re-measured lockstep-vs-pipelined numbers on
-    the headline config.
+    is no scatter of any kind left in the loop body.
+
+    RE-MEASURED on the headline config (2026-08-21, C=1024): 8.33 s →
+    4.56 s sampling wall (0.73 → 0.40 ms/iteration, 1.8x) with
+    lockstep unchanged at 2.73 s / 0.108 ms.  The residual 3.7x
+    per-iteration gap is NOT a memory op: the body is now pure
+    elementwise selects + the same leapfrog/einsum as lockstep, but it
+    runs ~2x the op count every iteration (momentum refresh, draw
+    bookkeeping, ring maintenance run per-iteration instead of
+    per-draw) on a backend whose while-loop iterations are LATENCY-
+    bound (round-2 measurement: ~0.5 ms/iteration floor for NUTS-class
+    bodies; CLAUDE.md).  On this backend the 1.35x iteration saving of
+    the headline posterior cannot beat that body tax, so lockstep
+    remains the default and bench engine; the pipelined engine wins
+    where the waste factor is larger (3.16x on the eight-schools
+    funnel) or iteration dispatch is cheap.
 
     RNG: per-iteration keys fold_in(key, it) — a different (but equally
     valid) stream than the lockstep engine, so results are

@@ -30,11 +30,13 @@ CHAINS = 1024
 
 CONFIGS = [
     # (tag, warmup, draws, target_accept, max_depth)
-    ("r4-baseline", 500, 1000, 0.95, 8),
-    ("less-warmup", 300, 1000, 0.95, 8),
+    # round-1 sweep (2026-08-21): r4-baseline 109k ess/sec (29% cap,
+    # div 24) | less-warmup(300) 32k — adaptation collapses, div 106 |
+    # more-draws(2000) 181k (43% cap, div 41) | both 74k | ta90@W300
+    # 176k but div 638.  Warmup stays 500; draws are the lever.
     ("more-draws", 500, 2000, 0.95, 8),
-    ("both", 300, 2000, 0.95, 8),
-    ("ta90", 300, 2000, 0.90, 8),
+    ("draws3k", 500, 3000, 0.95, 8),
+    ("d2k-ta92", 500, 2000, 0.92, 8),
 ]
 
 
