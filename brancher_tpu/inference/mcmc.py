@@ -715,7 +715,32 @@ def sample(
             dense_resume = resume_state
             inv_mass0 = jnp.asarray(resume_state["dense_inner_inv_mass"])
         else:
+            if "dense_mu" in resume_state:
+                # symmetric guard (round-5 review): a dense checkpoint's
+                # inv_mass is the [d,d] covariance — loading it as a
+                # diagonal engine mass would fail with an opaque
+                # broadcast error deep inside the integrator
+                raise ValueError(
+                    "resume_state was produced by a mass='dense' run — "
+                    "pass mass='dense' to resume it"
+                )
             inv_mass0 = jnp.asarray(resume_state["inv_mass"])
+        if "trajectory_length" in resume_state and hasattr(
+            kernel, "init_trajectory_length"
+        ):
+            # ChEES adapts a trajectory length during warmup; a resumed
+            # run has num_warmup=0, so it must start from the
+            # checkpointed length rather than the constructor default
+            # (round-5 review: 'exact resume' was silently integrating
+            # ~1-step trajectories).  Copy, don't mutate: the caller's
+            # kernel object may be reused, and the runner cache keys on
+            # vars(kernel).
+            import copy
+
+            kernel = copy.copy(kernel)
+            kernel.init_trajectory_length = float(
+                resume_state["trajectory_length"]
+            )
 
     in_slow, window_end = build_warmup_schedule(num_warmup)
 
@@ -1032,6 +1057,10 @@ def sample(
         "step_size": info["step_size"],
         "inv_mass": info["inv_mass"],
     }
+    if "trajectory_length" in info:  # ChEES: adapted length must resume
+        diagnostics["resume_state"]["trajectory_length"] = info[
+            "trajectory_length"
+        ]
     if _dense_ckpt is not None:
         diagnostics["resume_state"].update(_dense_ckpt)
     if "num_steps" in stats:

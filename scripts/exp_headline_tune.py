@@ -81,6 +81,22 @@ def child(warmup, draws, ta, md):
     yv.observe(yj)
     model = ProbabilisticModel([yv])
 
+    # same verification gate as bench.py's child_ard (round-5 review:
+    # this script's numbers pick the headline config, so the duplicated
+    # hand-fused math must carry the same autodiff safety check)
+    import jax.flatten_util
+
+    comp = model.compiled()
+    _, unravel = jax.flatten_util.ravel_pytree(comp.z_example())
+    auto = jax.vmap(jax.value_and_grad(
+        lambda zf: comp.log_density_z(comp.initial_params, unravel(zf))))
+    zp = 0.5 * jax.random.normal(jax.random.PRNGKey(9), (3, 2 * DIM))
+    va, ga = auto(zp)
+    vf, gf = fused(zp)
+    assert float(jnp.std(vf - va)) < 1e-2, "fused potential value mismatch"
+    assert bool(jnp.all(jnp.abs(gf - ga) <= 2e-3 * (1.0 + jnp.abs(ga)))), \
+        "fused potential grad mismatch"
+
     kwargs = dict(
         kernel=NUTS(max_depth=md), num_samples=draws, num_warmup=warmup,
         num_chains=CHAINS, key=jax.random.PRNGKey(0),

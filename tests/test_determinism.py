@@ -79,6 +79,7 @@ def test_vectorized_nuts_sharded_bit_identical(key):
     _assert_bit_identical(r1, r2)
 
 
+@pytest.mark.slow
 def test_eager_dispatch_bit_identical(key):
     """jit_runner=False vs ITSELF (VERDICT r4 weak #5): the eager
     dispatch path is documented as same-stream-but-bit-drifting vs the
@@ -90,6 +91,7 @@ def test_eager_dispatch_bit_identical(key):
     _assert_bit_identical(r1, r2)
 
 
+@pytest.mark.slow
 def test_eager_dispatch_sharded_bit_identical(key):
     """jit_runner=False composed with mesh (VERDICT r4 missing #3): the
     eagerly-dispatched shard_map must run the same engines/collectives —
@@ -109,6 +111,7 @@ def test_eager_dispatch_sharded_bit_identical(key):
     )
 
 
+@pytest.mark.slow
 def test_bf16_fused_potential_bit_identical(key):
     """fused_potential='bf16' vs ITSELF (VERDICT r4 weak #5): the bf16
     pre-cast potential samples a slightly perturbed density by design;

@@ -6,6 +6,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from brancher_tpu import NormalVariable, ProbabilisticModel
 
@@ -46,6 +47,7 @@ def test_checkpoint_roundtrip(key):
     assert int(restored["step"]) == 7
 
 
+@pytest.mark.slow
 def test_dense_mass_resume_roundtrip(key):
     """mass='dense' resume (VERDICT r4 #8): the checkpoint carries the
     whitening affine map (dense_mu/dense_L) + the inner whitened-space
@@ -65,7 +67,8 @@ def test_dense_mass_resume_roundtrip(key):
 
     r1 = sample(model, num_samples=300, num_warmup=400, **kw)
     rs = r1.diagnostics["resume_state"]
-    assert {"dense_mu", "dense_L", "dense_inner_inv_mass"} <= set(rs)
+    assert {"dense_mu", "dense_L", "dense_inner_inv_mass",
+            "trajectory_length"} <= set(rs)
 
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "ckpt")
@@ -79,6 +82,13 @@ def test_dense_mass_resume_roundtrip(key):
     assert abs(draws.std() - float(sd[1])) < 0.4
     # resumed runs skip warmup entirely
     assert float(r2.diagnostics["mean_accept_prob"]) > 0.5
+    # ChEES's ADAPTED trajectory length must survive the resume (round-5
+    # review: it used to silently reset to the constructor default 1.0,
+    # collapsing the resumed sampler to ~1-step trajectories)
+    np.testing.assert_allclose(
+        float(r2.diagnostics["trajectory_length"]),
+        float(rs["trajectory_length"]), rtol=1e-6,
+    )
     # and the resumed checkpoint still carries the dense payload
     assert "dense_mu" in r2.diagnostics["resume_state"]
 
@@ -96,8 +106,17 @@ def test_dense_resume_requires_dense_payload(key):
         sample(model, kernel=ChEESHMC(), num_samples=10, num_chains=4,
                key=key, mass="dense",
                resume_state=r.diagnostics["resume_state"])
+    # opposite direction (round-5 review): a dense checkpoint fed to a
+    # default diag run must raise the clear error, not an opaque
+    # broadcast failure from a [d,d] covariance-as-diagonal mass
+    rd = sample(model, kernel=ChEESHMC(), num_samples=60, num_warmup=100,
+                num_chains=4, key=key, mass="dense")
+    with pytest.raises(ValueError, match="mass='dense'"):
+        sample(model, kernel=ChEESHMC(), num_samples=10, num_chains=4,
+               key=key, resume_state=rd.diagnostics["resume_state"])
 
 
+@pytest.mark.slow
 def test_given_key_stable_closures_for_large_given(key):
     """sample(given_key=) (VERDICT r4 weak #3): conditioning arrays
     above the 16 MB content-hash bail used to force a fresh potential
