@@ -132,16 +132,18 @@ def child(engine: str) -> None:
     t_first = time.time() - t0
     log(f"[child {engine}] first sample() (compile+run): {t_first:.1f}s")
 
-    # best of 5 cached runs: each is ONE device-atomic program launch,
+    # best of 9 cached runs: each is ONE device-atomic program launch,
     # so the min filters any queueing delay from concurrent children
-    # (5 not 3: the saturated floor's value is pure 1/denominator on a
-    # ~0.27 s program, so per-run noise IS the metric's round-to-round
-    # movement)
+    # (9 not 3: the saturated floor's value is pure 1/denominator on a
+    # ~0.3 s program, so per-run contention noise IS the metric's
+    # round-to-round movement — it drifted 3.86M -> 3.60M -> 3.34M
+    # ess/sec across rounds on timing noise alone; extra reps cost
+    # ~1.2 s and tighten the min)
     t_sampler = float("inf")
-    for _ in range(5):
+    for _ in range(9):
         res = sample(model, **kwargs)
         t_sampler = min(t_sampler, float(res.diagnostics["sampler_seconds"]))
-    log(f"[child {engine}] cached sampler run (best of 5): {t_sampler:.2f}s")
+    log(f"[child {engine}] cached sampler run (best of 9): {t_sampler:.2f}s")
 
     ess = np.asarray(res.diagnostics["ess"]["w"])
     out = {
